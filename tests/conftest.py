@@ -1,0 +1,26 @@
+"""Test harness: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated here without TPU hardware; the real
+chip is exercised by bench.py and the driver's compile checks.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the axon TPU plugin (sitecustomize) overrides jax_platforms at import
+# time; force it back so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices()
