@@ -195,8 +195,10 @@ class RacingMPCConfig:
     load: bool = False
     load_path: tuple = ()
 
-    # TPU-solver knobs (no reference analogue: ADMM iteration budget etc.)
-    qp_iters: int = 200
+    # TPU-solver knobs (no reference analogue)
+    qp_method: str = "ipm"      # "ipm" (interior point) | "admm" (OSQP-style)
+    qp_ip_iters: int = 25       # IPM Newton iterations (fixed count)
+    qp_iters: int = 200         # ADMM iterations
     qp_rho: float = 0.1
     qp_sigma: float = 1e-6
     qp_alpha: float = 1.6
@@ -262,6 +264,11 @@ def _clean_inf(v):
             return math.inf
         if v in ("-.inf", "-inf"):
             return -math.inf
+        # YAML 1.1 parses exponent-only literals like "1e-3" as strings
+        try:
+            return float(v)
+        except ValueError:
+            return v
     if isinstance(v, list):
         return [_clean_inf(x) for x in v]
     return v

@@ -1,0 +1,13 @@
+"""Controllers and control-loop orchestration."""
+
+from racing_lmpc_tpu.control.loop import MPCController, ControllerState
+from racing_lmpc_tpu.control.pid import PidController, PidCoefficients
+from racing_lmpc_tpu.control.vanilla import VanillaController
+
+__all__ = [
+    "MPCController",
+    "ControllerState",
+    "PidController",
+    "PidCoefficients",
+    "VanillaController",
+]

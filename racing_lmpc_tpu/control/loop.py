@@ -1,0 +1,210 @@
+"""MPC control-loop orchestration — the ROS-node-equivalent layer.
+
+Parity target: ``racing_mpc/src/racing_mpc_node.cpp`` (on_step_timer,
+:150-477).  The essential mechanics replicated here:
+
+- **bootstrap**: before the first feasible solution, the reference rolls the
+  current state forward with ~zero control and solves the full nonlinear
+  problem with IPOPT (:210-235,298-314); here that is the SQP loop over the
+  same linearized QP (``RacingMPC.solve_sqp``).
+- **RTI reference = shifted previous solution**: each step shifts
+  last_X/last_U/last_dU by one stage, recomputes the terminal column through
+  the composed discrete dynamics, and uses the result as BOTH the cost
+  reference and the linearization point (:236-258).  The raceline enters
+  only through vel_ref / boundaries / curvatures interpolated at the shifted
+  abscissae (:260-292).
+- **velocity reference clipping** vs the current speed and the speed limit
+  (max_vel_ref_diff, :269-286).
+- **continuous mode** advances x_ic one step with the previous command to
+  compensate actuation delay (:243-247); **step mode** uses the state as-is.
+- on solver failure the previous (shifted) plan keeps flying
+  (racing_mpc.cpp:358-371 catch + node :322-332).
+
+The shift + reference interpolation + QP solve is one jitted function; the
+safe-set query (stateful, host-side ring buffers) runs between shift and
+solve exactly as the reference queries its ``SafeSetManager`` inside
+``RacingMPC::solve`` (racing_mpc.cpp:249-277).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from racing_lmpc_tpu.config import RacingMPCConfig
+from racing_lmpc_tpu.models.base import VehicleModel
+from racing_lmpc_tpu.mpc.racing_mpc import MPCInput, MPCOutput, RacingMPC
+from racing_lmpc_tpu.ops.math import align_abscissa
+from racing_lmpc_tpu.track.trajectory import RacingTrajectory
+
+
+class ControllerState(NamedTuple):
+    last_X: Array    # (N, nx) previous optimal states (shifted each step)
+    last_U: Array    # (N-1, nu)
+    last_dU: Array   # (N-1, nu)
+    z_warm: Array    # raw scaled decision vector of the previous solve
+    lam: Array       # (K,) previous convex combination
+
+
+class StepInfo(NamedTuple):
+    output: MPCOutput
+    u_apply: Array       # model-control applied this step
+    u_base: Array        # base (fd, fb, steer) actuation published
+    used_fallback: Array  # bool: previous plan kept after a failed solve
+
+
+class MPCController:
+    def __init__(self, config: RacingMPCConfig, model: VehicleModel,
+                 track: RacingTrajectory, dt: float,
+                 safe_set_query: Callable | None = None):
+        self.config = config
+        self.model = model
+        self.track = track
+        self.dt = dt
+        self.mpc = RacingMPC(config, model)
+        self.safe_set_query = safe_set_query
+        self.delay_step = 1 if config.step_mode == "continuous" else 0
+        vel_idx = self.mpc.idx_vel
+        x_max = np.asarray(config.x_max) if len(config.x_max) == model.nx else None
+        self.speed_limit = float(x_max[vel_idx]) if x_max is not None else np.inf
+        self.speed_scale = 1.0
+        self.state: ControllerState | None = None
+
+        self._step_jit = jax.jit(self._rti_step)
+        self._plant_step = jax.jit(self._composed_step)
+
+    # ------------------------------------------------------------------
+    def _composed_step(self, x: Array, u: Array) -> Array:
+        """Model discrete dynamics with track curvature composed in — the
+        node's private ``discrete_dynamics_`` (racing_mpc_node.cpp:46-50)."""
+        k = self.track.curvature(x[..., 0]) \
+            if self.model.base_config.modeling.use_frenet else jnp.zeros_like(x[..., 0])
+        return self.model.discrete_dynamics(
+            x, u, k, jnp.asarray(self.dt, dtype=x.dtype))
+
+    def _reference_arrays(self, X_ref: Array, dtype):
+        """Interpolate bounds / curvature / raw velocity at the horizon
+        abscissae (racing_mpc_node.cpp:260-268)."""
+        s = X_ref[:, 0]
+        return (self.track.left_boundary(s), self.track.right_boundary(s),
+                self.track.curvature(s), self.track.velocity(s))
+
+    def _clip_vel_ref(self, vel_raw: Array, current_speeds: Array,
+                      speed_limit: Array, speed_scale: Array) -> Array:
+        """Velocity reference clipping (racing_mpc_node.cpp:269-286)."""
+        d = self.config.max_vel_ref_diff
+        ref = vel_raw * speed_scale
+        limit_clipped = jnp.clip(speed_limit, current_speeds - d, current_speeds + d)
+        ref_clipped = jnp.minimum(
+            jnp.clip(ref, current_speeds - d, current_speeds + d), limit_clipped)
+        return jnp.where(ref > 0.0, ref_clipped, limit_clipped)
+
+    # ------------------------------------------------------------------
+    def _rti_step(self, x_ic: Array, u_ic: Array, state: ControllerState,
+                  ss_x: Array, ss_j: Array, speed_limit: Array,
+                  speed_scale: Array) -> tuple[ControllerState, StepInfo]:
+        mpc = self.mpc
+        N, nu = mpc.N, mpc.nu
+        dtype = x_ic.dtype
+
+        # continuous mode: predict one step ahead with the in-flight command
+        if self.config.step_mode == "continuous":
+            x_ic = self._composed_step(x_ic, state.last_U[0])
+
+        # shift previous solution (racing_mpc_node.cpp:248-258)
+        X_term = self._composed_step(state.last_X[-1], state.last_U[-1])
+        X_ref = jnp.concatenate([state.last_X[1:], X_term[None]], axis=0)
+        U_ref = jnp.concatenate([state.last_U[1:], state.last_U[-1:]], axis=0)
+        dU_ref = jnp.concatenate(
+            [state.last_dU[1:], jnp.zeros((1, nu), dtype=dtype)], axis=0)
+
+        bl, br, curv, vel_raw = self._reference_arrays(X_ref, dtype)
+        vel_ref = self._clip_vel_ref(
+            vel_raw, X_ref[:, mpc.idx_vel], speed_limit, speed_scale)
+
+        inp = MPCInput(
+            x_ic=x_ic, u_ic=u_ic, X_ref=X_ref, U_ref=U_ref,
+            T_ref=jnp.full((N - 1,), self.dt, dtype=dtype),
+            bound_left=bl, bound_right=br,
+            total_length=jnp.asarray(self.track.total_length, dtype=dtype),
+            curvatures=curv, vel_ref=vel_ref, ss_x=ss_x, ss_j=ss_j)
+
+        z_warm = mpc.warm_start_vector(X_ref, U_ref, dU_ref, state.lam)
+        out, z = mpc._solve_impl(inp, z_warm, jnp.asarray(True))
+
+        # on failure keep flying the shifted previous plan
+        ok = out.solved
+        new_X = jnp.where(ok, out.X_optm, X_ref)
+        new_U = jnp.where(ok, out.U_optm, U_ref)
+        new_dU = jnp.where(ok, out.dU_optm, dU_ref)
+        new_lam = jnp.where(ok, out.convex_combi, state.lam) \
+            if self.config.learning else state.lam
+        new_z = jnp.where(ok, z, z_warm)
+        new_state = ControllerState(new_X, new_U, new_dU, new_z, new_lam)
+
+        u_apply = new_U[self.delay_step]
+        x_apply = new_X[self.delay_step]
+        u_base = self.model.to_base_control(x_apply, u_apply)
+        return new_state, StepInfo(
+            output=out, u_apply=u_apply, u_base=u_base,
+            used_fallback=~ok)
+
+    # ------------------------------------------------------------------
+    def bootstrap(self, x_ic: Array, sqp_iters: int = 8) -> ControllerState:
+        """First-solution bootstrap (racing_mpc_node.cpp:210-235): roll the
+        state forward with ~zero control, then SQP to a feasible plan."""
+        mpc = self.mpc
+        N, nu, nx = mpc.N, mpc.nu, mpc.nx
+        dtype = jnp.asarray(x_ic).dtype
+        U0 = jnp.full((N - 1, nu), 1e-9, dtype=dtype)
+        xs = [jnp.asarray(x_ic, dtype=dtype)]
+        for i in range(N - 1):
+            xs.append(self._plant_step(xs[-1], U0[i]))
+        X0 = jnp.stack(xs)
+
+        bl, br, curv, vel_raw = self._reference_arrays(X0, dtype)
+        vel_ref = self._clip_vel_ref(
+            vel_raw, X0[:, mpc.idx_vel],
+            jnp.asarray(self.speed_limit, dtype=dtype),
+            jnp.asarray(self.speed_scale, dtype=dtype))
+        ss_x, ss_j = self._query_safe_set(X0[-1])
+        inp = MPCInput(
+            x_ic=jnp.asarray(x_ic, dtype=dtype),
+            u_ic=jnp.zeros((nu,), dtype=dtype),
+            X_ref=X0, U_ref=U0,
+            T_ref=jnp.full((N - 1,), self.dt, dtype=dtype),
+            bound_left=bl, bound_right=br,
+            total_length=jnp.asarray(self.track.total_length, dtype=dtype),
+            curvatures=curv, vel_ref=vel_ref, ss_x=ss_x, ss_j=ss_j)
+        out, z = mpc.solve_sqp(inp, iters=sqp_iters)
+        lam = out.convex_combi if self.config.learning else jnp.zeros((0,), dtype=dtype)
+        self.state = ControllerState(out.X_optm, out.U_optm, out.dU_optm, z, lam)
+        return self.state
+
+    def _query_safe_set(self, x_terminal: Array):
+        K = self.mpc.K
+        if self.config.learning and self.safe_set_query is not None:
+            ss_x, ss_j = self.safe_set_query(np.asarray(x_terminal), K)
+            return jnp.asarray(ss_x, dtype=jnp.float32), jnp.asarray(ss_j, dtype=jnp.float32)
+        return (jnp.zeros((K, self.mpc.nx), dtype=jnp.float32),
+                jnp.zeros((K,), dtype=jnp.float32))
+
+    def step(self, x_ic: Array, u_ic: Array | None = None) -> StepInfo:
+        """One control cycle.  ``x_ic`` is the current model state (Frenet),
+        ``u_ic`` the previously applied model control."""
+        x_ic = jnp.asarray(x_ic, dtype=jnp.float32)
+        if u_ic is None:
+            u_ic = jnp.zeros((self.mpc.nu,), dtype=jnp.float32)
+        if self.state is None:
+            self.bootstrap(x_ic)
+        # safe-set query at the (to-be-shifted) terminal point
+        ss_x, ss_j = self._query_safe_set(self.state.last_X[-1])
+        self.state, info = self._step_jit(
+            x_ic, jnp.asarray(u_ic, dtype=jnp.float32), self.state, ss_x, ss_j,
+            jnp.asarray(self.speed_limit, dtype=jnp.float32),
+            jnp.asarray(self.speed_scale, dtype=jnp.float32))
+        return info

@@ -1,0 +1,271 @@
+"""Batched OSQP-style ADMM quadratic program solver in pure JAX.
+
+The reference hands its per-step QP to OSQP through CasADi's conic Opti
+(racing_mpc.cpp:85-103).  OSQP's dynamic sparse factorizations and
+data-dependent termination do not map to TPUs, so this is a ground-up
+redesign around the same operator-splitting algorithm:
+
+    minimize    1/2 x' P x + q' x
+    subject to  l <= A x <= u
+
+- **Ruiz equilibration** (fixed-iteration, matching OSQP's default scaling)
+  keeps ADMM convergence fast on badly scaled MPC data.
+- **Dense KKT via Cholesky**: one factorization of
+  H = P + sigma*I + A' diag(rho) A per solve, two triangular solves per
+  iteration.  Everything is fused batched matmul/solve — under ``vmap`` the
+  whole scenario batch becomes (B, n, n) operations on the MXU.
+- **Fixed iteration count** (static shapes, no data-dependent control flow)
+  with over-relaxation alpha and per-row rho (equality rows get rho*1e3,
+  as in OSQP).
+- **Polish step** reproducing OSQP's `polish: true` (racing_mpc.cpp:92):
+  detect the active set from the multiplier signs, solve the reduced
+  equality-constrained KKT with ridge regularization + iterative
+  refinement.  This recovers ~1e-6 accuracy from an approximate ADMM
+  iterate, which is what makes 1e-3 control matching attainable in f32.
+
+All functions are jit-compatible and batch over leading dimensions via
+``jax.vmap``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+_RUIZ_ITERS = 10
+_EQ_RHO_SCALE = 1e3
+_MIN_SCALING = 1e-4
+_MAX_SCALING = 1e4
+
+
+class QPData(NamedTuple):
+    P: Array   # (n, n) symmetric PSD cost
+    q: Array   # (n,)
+    A: Array   # (m, n) constraint matrix
+    l: Array   # (m,) lower bounds (-inf allowed)
+    u: Array   # (m,) upper bounds (+inf allowed)
+
+
+class QPSolution(NamedTuple):
+    x: Array          # (n,) primal solution
+    y: Array          # (m,) dual solution
+    z: Array          # (m,) constraint values A x (projected)
+    r_prim: Array     # () final primal residual (inf-norm)
+    r_dual: Array     # () final dual residual (inf-norm)
+    obj: Array        # () objective value
+
+
+def ruiz_equilibrate(data: QPData):
+    """Modified Ruiz equilibration of the (P, q, A) data, OSQP-style.
+
+    Returns scaled data plus (D, E, c): x = D x_bar, y = c^{-1} E y_bar.
+    """
+    n = data.P.shape[0]
+    m = data.A.shape[0]
+    P, q, A = data.P, data.q, data.A
+    D = jnp.ones(n, dtype=P.dtype)
+    E = jnp.ones(m, dtype=P.dtype)
+    c = jnp.asarray(1.0, dtype=P.dtype)
+
+    def body(_, carry):
+        P, q, A, D, E, c = carry
+        # column norms of the KKT blocks
+        d_x = jnp.sqrt(jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(P), axis=0), jnp.max(jnp.abs(A), axis=0)),
+            _MIN_SCALING))
+        d_z = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(A), axis=1), _MIN_SCALING))
+        d_x = jnp.clip(1.0 / d_x, 1.0 / _MAX_SCALING, _MAX_SCALING)
+        d_z = jnp.clip(1.0 / d_z, 1.0 / _MAX_SCALING, _MAX_SCALING)
+        P = P * d_x[:, None] * d_x[None, :]
+        q = q * d_x
+        A = A * d_z[:, None] * d_x[None, :]
+        # cost normalization
+        mean_pcol = jnp.mean(jnp.max(jnp.abs(P), axis=0))
+        inf_q = jnp.max(jnp.abs(q))
+        gamma = 1.0 / jnp.maximum(jnp.maximum(mean_pcol, inf_q), _MIN_SCALING)
+        gamma = jnp.clip(gamma, 1.0 / _MAX_SCALING, _MAX_SCALING)
+        P = P * gamma
+        q = q * gamma
+        return P, q, A, D * d_x, E * d_z, c * gamma
+
+    P, q, A, D, E, c = jax.lax.fori_loop(
+        0, _RUIZ_ITERS, body, (P, q, A, D, E, c))
+    l = jnp.where(jnp.isfinite(data.l), data.l * E, data.l)
+    u = jnp.where(jnp.isfinite(data.u), data.u * E, data.u)
+    return QPData(P, q, A, l, u), (D, E, c)
+
+
+def admm_solve(
+    data: QPData,
+    iters: int = 200,
+    rho: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    x0: Array | None = None,
+    y0: Array | None = None,
+    rho_updates: int = 4,
+) -> tuple[Array, Array, Array]:
+    """Core ADMM loop on (already scaled) data.  Returns (x, z, y).
+
+    Runs ``rho_updates + 1`` chunks of ``iters / (rho_updates+1)`` iterations;
+    after each chunk rho is rescaled by sqrt(r_prim/r_dual) (OSQP's adaptive
+    rho rule) and the KKT matrix re-factorized.  Chunk count is static, so
+    the whole loop stays jit/vmap-friendly.
+    """
+    n = data.P.shape[0]
+    m = data.A.shape[0]
+    dtype = data.P.dtype
+    P, q, A, l, u = data
+
+    eq_row = jnp.isfinite(l) & jnp.isfinite(u) & (jnp.abs(u - l) < 1e-9)
+    I_n = jnp.eye(n, dtype=dtype)
+
+    x = jnp.zeros(n, dtype=dtype) if x0 is None else x0
+    z = jnp.clip(A @ x, l, u)
+    y = jnp.zeros(m, dtype=dtype) if y0 is None else y0
+
+    n_chunks = rho_updates + 1
+    chunk_iters = max(1, iters // n_chunks)
+
+    def run_chunk(carry, _):
+        x, z, y, rho_s = carry
+        rho_vec = jnp.where(eq_row, rho_s * _EQ_RHO_SCALE, rho_s).astype(dtype)
+        H = P + sigma * I_n + (A.T * rho_vec) @ A
+        L = jnp.linalg.cholesky(H)
+
+        def body(_, st):
+            x, z, y = st
+            rhs = sigma * x - q + A.T @ (rho_vec * z - y)
+            t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+            x_t = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+            z_t = A @ x_t
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_a = alpha * z_t + (1.0 - alpha) * z
+            z_n = jnp.clip(z_a + y / rho_vec, l, u)
+            y_n = y + rho_vec * (z_a - z_n)
+            return x_n, z_n, y_n
+
+        x, z, y = jax.lax.fori_loop(0, chunk_iters, body, (x, z, y))
+
+        # OSQP adaptive-rho rule on relative residuals
+        Ax = A @ x
+        r_prim = jnp.max(jnp.abs(Ax - z))
+        denom_p = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))) + 1e-8
+        Px = P @ x
+        Aty = A.T @ y
+        r_dual = jnp.max(jnp.abs(Px + q + Aty))
+        denom_d = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+            jnp.max(jnp.abs(q))) + 1e-8
+        ratio = jnp.sqrt((r_prim / denom_p) / (r_dual / denom_d + 1e-12))
+        rho_n = jnp.clip(rho_s * jnp.clip(ratio, 0.1, 10.0), 1e-6, 1e6)
+        return (x, z, y, rho_n), None
+
+    (x, z, y, _), _ = jax.lax.scan(
+        run_chunk, (x, z, y, jnp.asarray(rho, dtype=dtype)), None,
+        length=n_chunks)
+    return x, z, y
+
+
+def polish(data: QPData, x: Array, y: Array, delta: float = 1e-6,
+           refine_steps: int = 3) -> tuple[Array, Array]:
+    """OSQP-style solution polish: solve the KKT system restricted to the
+    active constraints detected from the dual signs, with ridge
+    regularization and iterative refinement.
+
+    Inactive rows get the trivial equation nu_i = 0, so the KKT matrix keeps
+    a static shape (no boolean gathers).
+    """
+    n = data.P.shape[0]
+    m = data.A.shape[0]
+    dtype = data.P.dtype
+    P, q, A, l, u = data
+
+    lower_active = y < -0.0
+    upper_active = y > 0.0
+    active = lower_active | upper_active
+    b = jnp.where(lower_active, l, jnp.where(upper_active, u, 0.0))
+    b = jnp.where(jnp.isfinite(b), b, 0.0)
+
+    act = active.astype(dtype)
+    A_act = A * act[:, None]
+    # KKT with -delta on active duals (regularization) and identity rows for
+    # inactive duals:
+    K = jnp.block([
+        [P + delta * jnp.eye(n, dtype=dtype), A_act.T],
+        [A_act, -jnp.diag(jnp.where(active, delta, 1.0).astype(dtype))],
+    ])
+    rhs = jnp.concatenate([-q, b])
+    lu, piv = jax.scipy.linalg.lu_factor(K)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+
+    # iterative refinement against the UNregularized KKT operator
+    def kkt_mv(v):
+        vx, vy = v[:n], v[n:]
+        top = P @ vx + A_act.T @ vy
+        bot = A_act @ vx - jnp.where(active, 0.0, 1.0) * vy
+        return jnp.concatenate([top, bot])
+
+    def refine(_, s):
+        r = rhs - kkt_mv(s)
+        return s + jax.scipy.linalg.lu_solve((lu, piv), r)
+
+    sol = jax.lax.fori_loop(0, refine_steps, refine, sol)
+    x_pol = sol[:n]
+    y_pol = jnp.where(active, sol[n:], 0.0)
+
+    # accept polish only if it improves the full KKT residual including
+    # complementarity/dual-sign violation — stationarity alone can hold for a
+    # wrong active set, so primal+dual residuals are not enough.
+    def residuals(xc, yc):
+        Axc = A @ xc
+        zc = jnp.clip(Axc, l, u)
+        rp = jnp.max(jnp.abs(Axc - zc))
+        rd = jnp.max(jnp.abs(P @ xc + q + A.T @ yc))
+        up = jnp.where(jnp.isfinite(u), u, 0.0)
+        lo = jnp.where(jnp.isfinite(l), l, 0.0)
+        comp = jnp.max(
+            jnp.maximum(yc, 0.0) * jnp.where(jnp.isfinite(u), jnp.abs(up - zc), 1.0)
+            + jnp.maximum(-yc, 0.0) * jnp.where(jnp.isfinite(l), jnp.abs(zc - lo), 1.0))
+        return rp + rd + comp
+    better = residuals(x_pol, y_pol) < residuals(x, y)
+    return jnp.where(better, x_pol, x), jnp.where(better, y_pol, y)
+
+
+def solve_qp(
+    data: QPData,
+    iters: int = 200,
+    rho: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    do_polish: bool = True,
+    x0: Array | None = None,
+    y0: Array | None = None,
+) -> QPSolution:
+    """Full pipeline: Ruiz scaling → ADMM → polish → unscale + residuals.
+
+    Forces full-f32 matmul precision — TPU's reduced-precision default
+    degrades the KKT factorizations (see solve_qp_ip).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_inner(data, iters, rho, sigma, alpha, do_polish, x0, y0)
+
+
+def _solve_qp_inner(data, iters, rho, sigma, alpha, do_polish, x0, y0):
+    sdata, (D, E, c) = ruiz_equilibrate(data)
+    x0s = None if x0 is None else x0 / D
+    y0s = None if y0 is None else y0 * E * c
+    xs, zs, ys = admm_solve(sdata, iters=iters, rho=rho, sigma=sigma,
+                            alpha=alpha, x0=x0s, y0=y0s)
+    if do_polish:
+        xs, ys = polish(sdata, xs, ys)
+    x = xs * D
+    y = ys * E / c
+    z = jnp.clip(data.A @ x, data.l, data.u)
+    r_prim = jnp.max(jnp.abs(data.A @ x - z))
+    r_dual = jnp.max(jnp.abs(data.P @ x + data.q + data.A.T @ y))
+    obj = 0.5 * x @ (data.P @ x) + data.q @ x
+    return QPSolution(x=x, y=y, z=z, r_prim=r_prim, r_dual=r_dual, obj=obj)

@@ -1,0 +1,88 @@
+"""End-to-end closed-loop tests: MPCController + RacingSimulator on BARC.
+
+This is the in-process equivalent of the reference's two-node lock-step
+co-simulation (racing_simulator_node <-> racing_mpc_node in "step" mode) —
+the gate for the tracking-MPC vertical slice (SURVEY.md section 7, stage 4).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from racing_lmpc_tpu.config import (
+    SimulatorConfig,
+    TRACK_DIR,
+    barc_mpc_config,
+    barc_vehicle,
+)
+from racing_lmpc_tpu.control.loop import MPCController
+from racing_lmpc_tpu.models import SingleTrackPlanarModel
+from racing_lmpc_tpu.sim import RacingSimulator
+from racing_lmpc_tpu.track import RacingTrajectory
+
+
+@pytest.fixture(scope="module")
+def stack():
+    base, st = barc_vehicle()
+    model = SingleTrackPlanarModel(base, st)
+    track = RacingTrajectory.from_file(TRACK_DIR / "barc" / "02_barc_center.txt")
+    return model, track
+
+
+def run_loop(model, track, x0, steps, n_horizon=10, dt=0.025):
+    cfg = barc_mpc_config("barc_tracking_mpc", n=n_horizon, learning=False,
+                          step_mode="step")
+    ctrl = MPCController(cfg, model, track, dt)
+    sim = RacingSimulator(SimulatorConfig(dt=dt, x0=tuple(x0)), model, track)
+    info = ctrl.step(sim.x)
+    fallbacks = 0
+    lat, speeds = [], []
+    for _ in range(steps):
+        sim.step(info.u_base)
+        info = ctrl.step(sim.x, u_ic=info.u_apply)
+        fallbacks += int(bool(info.used_fallback))
+        lat.append(float(sim.x[1]))
+        speeds.append(float(sim.x[3]))
+    return sim, ctrl, fallbacks, np.array(lat), np.array(speeds)
+
+
+def test_tracking_lap_segment(stack):
+    model, track = stack
+    sim, ctrl, fallbacks, lat, speeds = run_loop(
+        model, track, (0.1, 0.05, 0.02, 0.8, 0.0, 0.0), steps=150)
+    # Below ~1.2 m/s the RK4-linearized yaw channel is per-step unstable
+    # (|R(lambda*dt)| > 1), which can make the affine QP infeasible — the
+    # reference hits the same wall and keeps flying the previous plan
+    # (racing_mpc.cpp:358-371); we allow those early fallbacks but the loop
+    # must recover and keep the car on track.
+    assert fallbacks <= 20
+    # car stays inside the track (BARC half-width ~0.5 m)
+    assert np.abs(lat).max() < 0.45
+    # it accelerates toward the speed limit and makes progress
+    assert speeds[-1] > 2.0
+    assert speeds.max() < 4.0  # speed limit is 6, raceline speed ~3.5-5
+
+
+def test_deviated_start_recovers(stack):
+    model, track = stack
+    sim, ctrl, fallbacks, lat, speeds = run_loop(
+        model, track, (0.1, 0.3, 0.0, 0.8, 0.0, 0.0), steps=150)
+    assert fallbacks <= 20
+    # pulled back toward the centerline
+    assert abs(lat[-1]) < 0.15
+    assert np.abs(lat).max() < 0.45
+
+
+def test_simulator_rollout_batched(stack):
+    model, track = stack
+    sim = RacingSimulator(SimulatorConfig(dt=0.01), model, track)
+    x0 = jnp.asarray(np.tile([0.1, 0.0, 0.0, 1.0, 0.0, 0.0], (8, 1)),
+                     dtype=jnp.float32)
+    us = jnp.zeros((8, 50, 3), dtype=jnp.float32)
+    traj = sim.rollout(x0, us)
+    assert traj.shape == (8, 50, 6)
+    assert bool(jnp.all(jnp.isfinite(traj)))
+    # rolling resistance decelerates the coasting car
+    assert float(traj[0, -1, 3]) < 1.0
+    # abscissa stays wrapped
+    assert float(jnp.abs(traj[..., 0]).max()) <= track.total_length
