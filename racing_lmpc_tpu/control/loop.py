@@ -74,6 +74,20 @@ class MPCController:
         self.speed_scale = 1.0
         self.state: ControllerState | None = None
 
+        # LMPC safe-set machinery (the reference embeds these in RacingMPC,
+        # racing_mpc.cpp:56-60,240-277; here they live at the loop level)
+        self.ss_manager = None
+        self.ss_recorder = None
+        self._ss_loaded = False
+        self._time = 0.0
+        if config.learning and safe_set_query is None:
+            from racing_lmpc_tpu.safeset import SafeSetManager, SafeSetRecorder
+            self.ss_manager = SafeSetManager(
+                config.max_lap_stored, nx=model.nx, nu=model.nu)
+            self.ss_recorder = SafeSetRecorder(
+                self.ss_manager, to_file=config.record,
+                file_prefix=config.path_prefix)
+
         self._step_jit = jax.jit(self._rti_step)
         self._plant_step = jax.jit(self._composed_step)
 
@@ -186,12 +200,26 @@ class MPCController:
         return self.state
 
     def _query_safe_set(self, x_terminal: Array):
+        """Fixed-K safe-set query (racing_mpc.cpp:249-277).  Falls back to
+        pinning the terminal hull at the terminal reference when no laps are
+        stored yet (the reference leaves zero-valued Opti parameters there,
+        which degenerates to x_N ~ 0 — we keep the plan consistent instead)."""
         K = self.mpc.K
-        if self.config.learning and self.safe_set_query is not None:
-            ss_x, ss_j = self.safe_set_query(np.asarray(x_terminal), K)
-            return jnp.asarray(ss_x, dtype=jnp.float32), jnp.asarray(ss_j, dtype=jnp.float32)
-        return (jnp.zeros((K, self.mpc.nx), dtype=jnp.float32),
-                jnp.zeros((K,), dtype=jnp.float32))
+        if not self.config.learning:
+            return (jnp.zeros((K, self.mpc.nx), dtype=jnp.float32),
+                    jnp.zeros((K,), dtype=jnp.float32))
+        x_t = np.asarray(x_terminal)
+        if self.safe_set_query is not None:
+            ss_x, ss_j = self.safe_set_query(x_t, K)
+            return (jnp.asarray(ss_x, dtype=jnp.float32),
+                    jnp.asarray(ss_j, dtype=jnp.float32))
+        ss_x, ss_j, found = self.ss_manager.query_padded(
+            x_t, K, self.config.num_ss_pts_per_lap)
+        if not found:
+            ss_x = np.tile(x_t, (K, 1))
+            ss_j = np.zeros(K, dtype=np.float32)
+        return (jnp.asarray(ss_x, dtype=jnp.float32),
+                jnp.asarray(ss_j, dtype=jnp.float32))
 
     def step(self, x_ic: Array, u_ic: Array | None = None) -> StepInfo:
         """One control cycle.  ``x_ic`` is the current model state (Frenet),
@@ -199,6 +227,19 @@ class MPCController:
         x_ic = jnp.asarray(x_ic, dtype=jnp.float32)
         if u_ic is None:
             u_ic = jnp.zeros((self.mpc.nu,), dtype=jnp.float32)
+
+        # LMPC bookkeeping: lazy lap load + per-step recording
+        # (racing_mpc.cpp:240-246)
+        if self.ss_recorder is not None:
+            if self.config.load and not self._ss_loaded:
+                self.ss_recorder.load(self.config.load_path, self.track.total_length)
+                self._ss_loaded = True
+            k_now = float(self.track.curvature(x_ic[0]))
+            self.ss_recorder.step(
+                np.asarray(x_ic), np.asarray(u_ic), k_now, self._time,
+                self.track.total_length)
+            self._time += self.dt
+
         if self.state is None:
             self.bootstrap(x_ic)
         # safe-set query at the (to-be-shifted) terminal point

@@ -179,6 +179,18 @@ class RacingMPC:
         self.bounds = model.control_bounds()
         self.margin = config.margin + model.base_config.chassis.b / 2.0
 
+        # static equality-row indices (dynamics, rate coupling, initial
+        # condition, lambda simplex + hull) — lets the IPM use the condensed
+        # Cholesky/Schur KKT path instead of a pivoted LU of the full KKT.
+        L = self.layout
+        eq = [np.arange(L.r_dyn, L.r_dyn + (N - 1) * nx),
+              np.arange(L.r_rate, L.r_rate + (N - 1) * nu),
+              np.arange(L.r_ic, L.r_ic + nx)]
+        if config.learning:
+            eq.append(np.array([L.r_lam_sum]))
+            eq.append(np.arange(L.r_hull, L.r_hull + nx))
+        self.eq_rows = jnp.asarray(np.concatenate(eq))
+
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_impl))
 
@@ -358,7 +370,7 @@ class RacingMPC:
         if cfg.qp_method == "ipm":
             # interior point restarts from the central path; the warm start
             # is not used (its value is in the shifted X_ref linearization).
-            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters)
+            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows)
         else:
             x0 = jnp.where(warm_valid, z_warm, jnp.zeros_like(z_warm))
             sol = solve_qp(
