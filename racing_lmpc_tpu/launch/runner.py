@@ -1,0 +1,308 @@
+"""In-process co-simulation runners mirroring the reference launch files.
+
+Parity target: ``racing_lmpc_launch/launch/{barc,putnam}/*.launch.py`` — each
+launch spawns a simulator node (global frame, ``use_frenet: False``) and an
+MPC node (Frenet frame) connected by DDS topics.  Here both live in one
+process connected by the same message dataclasses; the per-step global<->
+Frenet conversions of the two nodes (racing_simulator_node.cpp:266-284,
+racing_mpc_node.cpp:180-186) run exactly as in the reference, which makes
+these runners an end-to-end exercise of the full stack including the track
+projections.
+
+Entry points (same scenario names as the launch files):
+    sim_barc_lmpc, sim_barc_tracking_mpc, sim_putnam_short_lmpc,
+    sim_putnam_short_tracking_mpc, sim_putnam_config_a_tracking_mpc
+
+Run e.g.:  python -m racing_lmpc_tpu.launch.runner barc_lmpc --steps 400
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from racing_lmpc_tpu.config import (
+    PARAM_DIR,
+    SS_DIR,
+    TRACK_DIR,
+    SimulatorConfig,
+    load_ros_params,
+    mpc_config_from_params,
+    simulator_config_from_params,
+    single_track_config_from_params,
+    vehicle_config_from_params,
+)
+from racing_lmpc_tpu.control.loop import MPCController
+from racing_lmpc_tpu.control.telemetry import CycleProfiler
+from racing_lmpc_tpu.models import SingleTrackPlanarModel
+from racing_lmpc_tpu.msgs import MPCTelemetry, VehicleActuationMsg, VehicleStateMsg
+from racing_lmpc_tpu.sim import RacingSimulator
+from racing_lmpc_tpu.track import RacingTrajectory, RacingTrajectoryMap
+
+
+@dataclass
+class ScenarioSpec:
+    name: str
+    vehicle_base_yaml: str
+    vehicle_model_yaml: str
+    mpc_yaml: str
+    track_dir: str
+    sim_track_file: str
+    default_traj_idx: int
+    x0_global: tuple
+    dt: float = 0.025
+    velocity_profile_scale: float = 1.0
+    delay_step: int = 0
+    n_override: int | None = None
+    load_laps: tuple = ()
+
+
+# the five shipped launch scenarios (racing_lmpc_launch/launch/**)
+_SCENARIOS = {
+    "barc_lmpc": ScenarioSpec(
+        name="barc_lmpc",
+        vehicle_base_yaml="barc_base.param.yaml",
+        vehicle_model_yaml="barc_single_track.param.yaml",
+        mpc_yaml="barc_lmpc.param.yaml",
+        track_dir="barc", sim_track_file="barc/02_barc_center.txt",
+        default_traj_idx=2,
+        x0_global=(1.0, 0.0, 0.0, 1.5, 0.0, 0.0),
+        velocity_profile_scale=0.9,
+        load_laps=tuple(str(SS_DIR / "barc" / f"ss_lap_{i}") for i in (1, 2, 3)),
+    ),
+    "barc_tracking_mpc": ScenarioSpec(
+        name="barc_tracking_mpc",
+        vehicle_base_yaml="barc_base.param.yaml",
+        vehicle_model_yaml="barc_single_track.param.yaml",
+        mpc_yaml="barc_tracking_mpc.param.yaml",
+        track_dir="barc", sim_track_file="barc/02_barc_center.txt",
+        default_traj_idx=2,
+        x0_global=(1.0, 0.0, 0.0, 1.5, 0.0, 0.0),
+        velocity_profile_scale=0.9,
+    ),
+    "putnam_short_lmpc": ScenarioSpec(
+        name="putnam_short_lmpc",
+        vehicle_base_yaml="iac_car_base.param.yaml",
+        vehicle_model_yaml="iac_car_single_track.param.yaml",
+        mpc_yaml="iac_car_lmpc.param.yaml",
+        track_dir="putnam_short",
+        sim_track_file="putnam_short/04_putnam_short_center.txt",
+        default_traj_idx=4,
+        x0_global=(-24.5, 39.4, -1.0, 15.0, 0.0, 0.0),
+        dt=0.1,
+    ),
+    "putnam_short_tracking_mpc": ScenarioSpec(
+        name="putnam_short_tracking_mpc",
+        vehicle_base_yaml="iac_car_base.param.yaml",
+        vehicle_model_yaml="iac_car_single_track.param.yaml",
+        mpc_yaml="iac_car_tracking_mpc.param.yaml",
+        track_dir="putnam_short",
+        sim_track_file="putnam_short/04_putnam_short_center.txt",
+        default_traj_idx=4,
+        x0_global=(-24.5, 39.4, -1.0, 15.0, 0.0, 0.0),
+    ),
+    "putnam_config_a_tracking_mpc": ScenarioSpec(
+        name="putnam_config_a_tracking_mpc",
+        vehicle_base_yaml="iac_car_base.param.yaml",
+        vehicle_model_yaml="iac_car_single_track.param.yaml",
+        mpc_yaml="iac_car_tracking_mpc.param.yaml",
+        track_dir="putnam", sim_track_file="putnam/3_putnam_center.txt",
+        default_traj_idx=3,
+        x0_global=(-24.5, 39.4, -1.0, 15.0, 0.0, 0.0),
+    ),
+}
+
+
+class CoSimulation:
+    """Lock-step simulator + controller, the in-process equivalent of the
+    two-node launch ("step" co-simulation mode)."""
+
+    def __init__(self, spec: ScenarioSpec, n_override: int | None = None,
+                 mpc_overrides: dict | None = None):
+        self.spec = spec
+        params = load_ros_params(PARAM_DIR / spec.vehicle_base_yaml,
+                                 PARAM_DIR / spec.vehicle_model_yaml)
+        base = vehicle_config_from_params(params)
+        st = single_track_config_from_params(params)
+
+        # simulator model runs in the global frame (launch: use_frenet False)
+        base_global = type(base)(**{
+            **base.__dict__,
+            "modeling": type(base.modeling)(
+                use_frenet=False,
+                integrator_type=base.modeling.integrator_type,
+                sample_throttle=base.modeling.sample_throttle)})
+        self.sim_model = SingleTrackPlanarModel(base_global, st)
+        self.ctrl_model = SingleTrackPlanarModel(base, st)
+
+        self.track = RacingTrajectory.from_file(TRACK_DIR / spec.sim_track_file)
+        self.track_map = RacingTrajectoryMap(TRACK_DIR / spec.track_dir)
+
+        overrides = dict(mpc_overrides or {})
+        if spec.load_laps:
+            overrides.setdefault("load", True)
+            overrides.setdefault("load_path", spec.load_laps)
+        if n_override:
+            overrides["n"] = n_override
+        overrides.setdefault("step_mode", "step")
+        mpc_cfg = mpc_config_from_params(
+            load_ros_params(PARAM_DIR / spec.mpc_yaml), **overrides)
+
+        self.controller = MPCController(mpc_cfg, self.ctrl_model, self.track,
+                                        spec.dt)
+        self.controller.speed_scale = spec.velocity_profile_scale
+        self.controller.delay_step = spec.delay_step
+
+        self.simulator = RacingSimulator(
+            SimulatorConfig(dt=spec.dt, x0=spec.x0_global, step_mode="step"),
+            self.sim_model, self.track)
+
+        self.profiler = CycleProfiler(capacity=40)
+        self.telemetry: list[MPCTelemetry] = []
+        self.lap_times: list[float] = []
+        self._lap_start_t = 0.0
+        self._t = 0.0
+        self._last_s = None
+        self._s_prev_seed = None
+        self._u_prev = jnp.zeros((self.ctrl_model.nu,), dtype=jnp.float32)
+        self.lap_num = 0
+
+    # ------------------------------------------------------------------
+    def vehicle_state_msg(self) -> VehicleStateMsg:
+        """Global sim state -> full VehicleStateMsg incl. parametric pose
+        and velocity (racing_simulator_node update_vehicle_state_msg,
+        :203-238)."""
+        x = np.asarray(self.simulator.x)
+        pose_g = jnp.asarray(x[:3], dtype=jnp.float32)
+        pf = np.asarray(self.track.global_to_frenet(
+            pose_g, s_prev=self._s_prev_seed))
+        self._s_prev_seed = jnp.asarray(pf[0])
+        msg = VehicleStateMsg(t=self._t)
+        msg.x.x, msg.x.y = float(x[0]), float(x[1])
+        msg.e.psi = float(x[2])
+        msg.v.v_long, msg.v.v_tran = float(x[3]), float(x[4])
+        msg.w.w_psi = float(x[5])
+        msg.p.s, msg.p.x_tran, msg.p.e_psi = map(float, pf)
+        k = float(self.track.curvature(jnp.asarray(pf[0])))
+        msg.pt.ds = float(
+            (x[3] * np.cos(pf[2]) - x[4] * np.sin(pf[2])) / (1.0 - pf[1] * k))
+        msg.pt.dx_tran = float(x[3] * np.sin(pf[2]) + x[4] * np.cos(pf[2]))
+        msg.pt.de_psi = float(x[5] - k * msg.pt.ds)
+        msg.lap_num = float(self.lap_num)
+        return msg
+
+    def step(self) -> MPCTelemetry:
+        """One lock-step cycle: state -> MPC -> actuation -> plant."""
+        msg = self.vehicle_state_msg()
+        x_frenet = jnp.asarray(
+            [msg.p.s, msg.p.x_tran, msg.p.e_psi,
+             msg.v.v_long, msg.v.v_tran, msg.w.w_psi], dtype=jnp.float32)
+
+        t0 = time.perf_counter()
+        info = self.controller.step(x_frenet, u_ic=self._u_prev)
+        solve_time = time.perf_counter() - t0
+        self.profiler.add_cycle_stats(solve_time)
+        self._u_prev = info.u_apply
+
+        # actuation: dominant-force sign split (racing_mpc_node.cpp:396-402)
+        u_base = np.asarray(info.u_base)
+        u_a = u_base[0] if abs(u_base[0]) > abs(u_base[1]) else u_base[1]
+        act = VehicleActuationMsg(t=self._t, u_a=float(u_a),
+                                  u_steer=float(u_base[2]))
+        # simulator sign-splits u_a back (racing_simulator_node.cpp:249-254)
+        fd = max(act.u_a, 0.0)
+        fb = min(act.u_a, 0.0)
+        self.simulator.step(jnp.asarray([fd, fb, act.u_steer], dtype=jnp.float32))
+
+        # lap counting by abscissa wrap (racing_simulator_node.cpp:266-284)
+        s_now = msg.p.s
+        if self._last_s is not None and self._last_s - s_now > 0.5 * self.track.total_length:
+            self.lap_num += 1
+            if self._lap_start_t > 0.0 or self.lap_num > 1:
+                self.lap_times.append(self._t - self._lap_start_t)
+            self._lap_start_t = self._t
+        self._last_s = s_now
+        self._t += self.spec.dt
+
+        tel = MPCTelemetry(
+            trajectory_index=self.spec.default_traj_idx,
+            solved=not bool(info.used_fallback),
+            cost=float(info.output.obj),
+            state=[float(v) for v in np.asarray(info.output.X_optm[0])],
+            control=[float(v) for v in np.asarray(info.u_apply)],
+            solve_time=solve_time)
+        self.telemetry.append(tel)
+        return tel
+
+    def run(self, steps: int, log_every: int = 0) -> dict:
+        for i in range(steps):
+            tel = self.step()
+            if log_every and i % log_every == 0:
+                x = np.asarray(self.simulator.x)
+                print(f"[{i:5d}] t={self._t:7.2f}s lap={self.lap_num} "
+                      f"s={self._last_s:7.2f} solved={tel.solved} "
+                      f"solve={tel.solve_time * 1e3:6.1f}ms")
+        prof = self.profiler.profile()
+        diag = prof.to_diagnostic_status(
+            f"{self.spec.name} MPC Solve Time", "s", self.spec.dt)
+        return {
+            "laps": self.lap_num,
+            "lap_times": self.lap_times,
+            "fallback_rate": float(np.mean(
+                [not t.solved for t in self.telemetry])),
+            "solve_time": {"min": prof.min, "mean": prof.mean, "max": prof.max},
+            "diagnostics": diag,
+        }
+
+    def export_telemetry(self, path: str | Path):
+        Path(path).write_text(json.dumps([t.to_dict() for t in self.telemetry]))
+
+
+def _make(name: str, **kw) -> CoSimulation:
+    return CoSimulation(_SCENARIOS[name], **kw)
+
+
+def sim_barc_lmpc(**kw) -> CoSimulation:
+    return _make("barc_lmpc", **kw)
+
+
+def sim_barc_tracking_mpc(**kw) -> CoSimulation:
+    return _make("barc_tracking_mpc", **kw)
+
+
+def sim_putnam_short_lmpc(**kw) -> CoSimulation:
+    return _make("putnam_short_lmpc", **kw)
+
+
+def sim_putnam_short_tracking_mpc(**kw) -> CoSimulation:
+    return _make("putnam_short_tracking_mpc", **kw)
+
+
+def sim_putnam_config_a_tracking_mpc(**kw) -> CoSimulation:
+    return _make("putnam_config_a_tracking_mpc", **kw)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("scenario", choices=sorted(_SCENARIOS))
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--horizon", type=int, default=None,
+                   help="override the MPC horizon N")
+    p.add_argument("--telemetry-out", type=str, default=None)
+    p.add_argument("--log-every", type=int, default=40)
+    args = p.parse_args()
+    cosim = _make(args.scenario, n_override=args.horizon)
+    summary = cosim.run(args.steps, log_every=args.log_every)
+    if args.telemetry_out:
+        cosim.export_telemetry(args.telemetry_out)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

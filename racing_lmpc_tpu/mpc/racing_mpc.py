@@ -439,10 +439,16 @@ class RacingMPC:
             return jnp.concatenate([inp.x_ic[None], Xs], axis=0)
 
         out, z = self.solve(inp)
+        U = out.U_optm
         for _ in range(iters - 1):
-            X_roll = rollout(out.U_optm)
-            inp = inp._replace(X_ref=X_roll, U_ref=out.U_optm)
+            X_roll = rollout(U)
+            inp = inp._replace(X_ref=X_roll, U_ref=U)
             out, z = self._solve_jit(inp, z, jnp.asarray(True))
+            # damped control update: full steps chatter on the stiff yaw
+            # channel when steering saturates; alpha=0.5 converges geometrically
+            U = U + 0.5 * (out.U_optm - U)
+        # report the damped iterate with its (dynamics-consistent) rollout
+        out = out._replace(U_optm=U, X_optm=rollout(U))
         return out, z
 
     # ------------------------------------------------------------------
