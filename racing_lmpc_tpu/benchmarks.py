@@ -55,18 +55,17 @@ def make_scenario_batch(mpc: RacingMPC, track, manager, batch: int,
     v0 = rng.uniform(1.5, 2.2, batch)
 
     s_hor = s0[:, None] + v0[:, None] * dt * np.arange(N)[None, :]
-    sj = jnp.asarray(s_hor, dtype=jnp.float32)
     X_ref = np.zeros((batch, N, nx), dtype=np.float32)
     X_ref[..., 0] = s_hor
     X_ref[..., 3] = v0[:, None]
     x_ic = X_ref[:, 0].copy()
     x_ic[:, 1] = t0
 
-    curv = np.asarray(track.curvature(sj))
-    bl = np.asarray(track.left_boundary(sj))
-    br = np.asarray(track.right_boundary(sj))
-    vel = np.clip(np.asarray(track.velocity(sj)),
-                  v0[:, None] - 1.0, v0[:, None] + 1.0)
+    curv = track.curvature_np(s_hor).astype(np.float32)
+    bl = track.left_boundary_np(s_hor).astype(np.float32)
+    br = track.right_boundary_np(s_hor).astype(np.float32)
+    vel = np.clip(track.velocity_np(s_hor),
+                  v0[:, None] - 1.0, v0[:, None] + 1.0).astype(np.float32)
 
     if manager is not None and K > 0:
         ss_x = np.zeros((batch, K, nx), dtype=np.float32)

@@ -197,7 +197,8 @@ class RacingMPCConfig:
 
     # TPU-solver knobs (no reference analogue)
     qp_method: str = "ipm"      # "ipm" (interior point) | "admm" (OSQP-style)
-    qp_ip_iters: int = 25       # IPM Newton iterations (fixed count)
+    qp_ip_iters: int = 18       # IPM Newton iterations (fixed count;
+                                # 15 already holds the 1e-3 control budget)
     qp_iters: int = 200         # ADMM iterations
     qp_rho: float = 0.1
     qp_sigma: float = 1e-6

@@ -42,7 +42,9 @@ _EPS = 1e-10
 
 
 def _ipm_core(data: QPData, iters: int, delta: float,
-              eq_rows: Array | None = None) -> tuple[Array, Array]:
+              eq_rows: Array | None = None,
+              kkt_perm: Array | None = None,
+              pair_safe: bool = False) -> tuple[Array, Array]:
     """IPM on (scaled) data.  Returns (x, y) with y the OSQP-convention dual
     (y = z_u - z_l, positive on active upper bounds).
 
@@ -79,24 +81,60 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
     if eq_rows is not None:
         # Compact quasi-definite KKT: with the equality rows known
-        # statically, the Newton system shrinks from (n + m) to (n + m_eq)
-        # — for the MPC QPs roughly (770 -> 415)^3 ~ 6x fewer LU flops.
+        # statically, the Newton system shrinks from (n + m) to (n + m_eq),
+        # and — being quasi-definite after regularization — it factors with
+        # the UNPIVOTED blocked LDL^T (mpc/ldlt.py).  On TPU this replaces
+        # the pivot-dominated batched LU with pure matmuls.
+        #
+        # Stability requires a good STATIC ordering: eliminating "free"
+        # variables (tiny delta pivots, e.g. the abscissa states) before the
+        # equality rows that define them causes unbounded element growth in
+        # f32.  ``kkt_perm`` interleaves each variable with its defining
+        # equality dual (built by the MPC layout), so every 64-block pivot
+        # is a well-conditioned locally quasi-definite mix, inverted exactly
+        # (pivoted) inside the block.
+        from racing_lmpc_tpu.mpc.ldlt import (
+            ldlt_factor, ldlt_solve, unpivoted_inverse_pairs)
+
         Ae = A[eq_rows]                      # (m_eq, n), static shape
         me = Ae.shape[0]
-        neg_dI = -delta * jnp.eye(me, dtype=dtype)
+        dim = n + me
+        block = 64
+        pad = (-dim) % block
+        kdim = dim + pad
+        if kkt_perm is None:
+            perm = jnp.arange(dim)
+        else:
+            perm = jnp.asarray(kkt_perm)
+        inv_perm = jnp.zeros((dim,), dtype=perm.dtype).at[perm].set(
+            jnp.arange(dim, dtype=perm.dtype))
 
         def make_solver(D):
             H = P + delta * I_n + (A.T * D) @ A
-            K = jnp.block([[H, Ae.T], [Ae, neg_dI]])
-            lu, piv = jax.scipy.linalg.lu_factor(K)
+            K = jnp.zeros((kdim, kdim), dtype=dtype)
+            K = K.at[:n, :n].set(H)
+            K = K.at[:n, n:dim].set(Ae.T)
+            K = K.at[n:dim, :n].set(Ae)
+            K = K.at[n:dim, n:dim].set(-delta * jnp.eye(me, dtype=dtype))
+            Kp = K.at[:dim, :dim].set(K[perm][:, perm])
+            # identity on the padding keeps the factorization well-posed
+            Kp = Kp.at[dim:, dim:].set(jnp.eye(pad, dtype=dtype))
+            # Block inverses use the (small) pivoted LU: the pivot-free
+            # pairwise-GJ alternative (unpivoted_inverse_pairs) loses too
+            # much precision on blocks whose barrier weights span ~1e8 in
+            # f32 — revisit as a Pallas kernel with in-block pivoting.
+            # (pair_safe reserved for that path; ordering still matters.)
+            fac = ldlt_factor(Kp, block=block)
 
             def solve(r1, r2):
                 r2c = r2[eq_rows]
                 rhs = jnp.concatenate([r1, r2c])
-                s0 = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-                s0 = s0 + jax.scipy.linalg.lu_solve((lu, piv), rhs - K @ s0)
-                dy = jnp.zeros(m, dtype=dtype).at[eq_rows].set(s0[n:])
-                return s0[:n], dy
+                rhs_p = jnp.zeros((kdim,), dtype=dtype).at[:dim].set(rhs[perm])
+                s0 = ldlt_solve(fac, rhs_p)
+                s0 = s0 + ldlt_solve(fac, rhs_p - Kp @ s0)
+                s = s0[:dim][inv_perm]
+                dy = jnp.zeros(m, dtype=dtype).at[eq_rows].set(s[n:dim])
+                return s[:n], dy
             return solve
     else:
         def make_solver(D):
@@ -204,7 +242,9 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
 
 def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
-                scale: bool = True, eq_rows: Array | None = None) -> QPSolution:
+                scale: bool = True, eq_rows: Array | None = None,
+                kkt_perm: Array | None = None,
+                pair_safe: bool = False) -> QPSolution:
     """Ruiz-scale, run the IPM, unscale, report residuals.
 
     Runs under full-f32 matmul precision: TPU's default reduced-precision
@@ -213,11 +253,14 @@ def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
     convergence quality (verified: 0 vs 21% failed solves in closed loop).
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows)
+        return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows, kkt_perm,
+                                  pair_safe)
 
 
 def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
-                       scale: bool, eq_rows: Array | None = None) -> QPSolution:
+                       scale: bool, eq_rows: Array | None = None,
+                       kkt_perm: Array | None = None,
+                       pair_safe: bool = False) -> QPSolution:
     if scale:
         sdata, (D, E, c) = ruiz_equilibrate(data)
     else:
@@ -225,7 +268,8 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         D = jnp.ones(data.P.shape[0], dtype=data.P.dtype)
         E = jnp.ones(data.A.shape[0], dtype=data.P.dtype)
         c = jnp.asarray(1.0, dtype=data.P.dtype)
-    xs, ys = _ipm_core(sdata, iters=iters, delta=delta, eq_rows=eq_rows)
+    xs, ys = _ipm_core(sdata, iters=iters, delta=delta, eq_rows=eq_rows,
+                       kkt_perm=kkt_perm, pair_safe=pair_safe)
     x = xs * D
     y = ys * E / c
     z = jnp.clip(data.A @ x, data.l, data.u)

@@ -190,9 +190,62 @@ class RacingMPC:
             eq.append(np.array([L.r_lam_sum]))
             eq.append(np.arange(L.r_hull, L.r_hull + nx))
         self.eq_rows = jnp.asarray(np.concatenate(eq))
+        self.kkt_perm = jnp.asarray(self._build_kkt_perm())
+        # pairwise (2x2-pivot) elimination is safe when consecutive order
+        # entries form coupled-or-healthy pairs at even offsets — holds for
+        # even nu, and for LMPC only when the hull slack pairs the hull rows
+        self.kkt_pair_safe = (nu % 2 == 0) and (
+            not config.learning or self.has_hull_slack)
 
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_impl))
+
+    def _build_kkt_perm(self) -> np.ndarray:
+        """Static ordering of the compact KKT [vars; equality duals] that
+        interleaves each variable with its defining equality row.
+
+        This is the stage-wise (Riccati-like) ordering: x_0 with the initial
+        condition rows, each du_i with its rate-coupling row, each x_{i+1}
+        with its dynamics row, hull slacks with the convex-hull rows.  Under
+        the unpivoted block LDL^T it keeps every leading minor a truncated
+        (well-posed) MPC KKT, which bounds element growth — the naive
+        [all vars; all duals] order places delta-sized pivots first and
+        destroys f32 accuracy.
+        """
+        L = self.layout
+        nx, nu, N, K = self.nx, self.nu, self.N, self.K
+        n = L.n
+        dyn_d = lambda i, a: n + i * nx + a
+        rate_d = lambda i, c: n + (N - 1) * nx + i * nu + c
+        ic_d = lambda a: n + (N - 1) * nx + (N - 1) * nu + a
+        lam_sum_d = n + (N - 1) * nx + (N - 1) * nu + nx
+        hull_d = lambda a: lam_sum_d + 1 + a
+
+        order: list[int] = []
+        for a in range(nx):
+            order += [L.ix(0) + a, ic_d(a)]
+        for i in range(N - 1):
+            order += [L.iu(i) + c for c in range(nu)]
+            for c in range(nu):
+                order += [L.idu(i) + c, rate_d(i, c)]
+            for a in range(nx):
+                order += [L.ix(i + 1) + a, dyn_d(i, a)]
+        if self.config.learning:
+            # hull rows paired with the hull slacks, then the simplex row
+            # paired with lambda_0 (its strongest coupling), then the rest:
+            # eliminating the hull duals first projects O(1) Schur terms
+            # onto the lambda block, giving the curvature-free lambdas
+            # stable pivots; every even-offset pair stays 2x2-invertible.
+            if self.has_hull_slack:
+                for a in range(nx):
+                    order += [L.hull_off + a, hull_d(a)]
+            else:
+                order += [hull_d(a) for a in range(nx)]
+            order += [L.lam_off, lam_sum_d]
+            order += [L.lam_off + k for k in range(1, K)]
+        if self.has_bslack:
+            order.append(L.sb_off)
+        return np.asarray(order, dtype=np.int32)
 
     # ------------------------------------------------------------------
     def _build_qp(self, inp: MPCInput) -> QPData:
@@ -370,7 +423,9 @@ class RacingMPC:
         if cfg.qp_method == "ipm":
             # interior point restarts from the central path; the warm start
             # is not used (its value is in the shifted X_ref linearization).
-            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows)
+            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows,
+                              kkt_perm=self.kkt_perm,
+                              pair_safe=self.kkt_pair_safe)
         else:
             x0 = jnp.where(warm_valid, z_warm, jnp.zeros_like(z_warm))
             sol = solve_qp(

@@ -73,6 +73,27 @@ class PeriodicSpline(NamedTuple):
         return 6.0 * c0 * t + 2.0 * c1
 
 
+def fit_host_spline(
+    s_knots: np.ndarray, values: np.ndarray, period: float,
+) -> CubicSpline:
+    """SciPy twin of :func:`fit_periodic_spline` for host-side setup paths.
+
+    Scenario construction (benchmark batches, warm-start seeding) only needs
+    a handful of spline evaluations on the host; paying a device dispatch —
+    and on cold processes an XLA compile — for those is pure overhead.  The
+    returned ``CubicSpline`` uses ``extrapolate='periodic'`` so any abscissa
+    evaluates correctly without manual wrapping.
+    """
+    s_knots = np.asarray(s_knots, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+    if values.ndim == 1:
+        values = values[:, None]
+    x = np.concatenate([s_knots, [s_knots[0] + period]])
+    y = np.concatenate([values, values[:1]], axis=0)
+    return CubicSpline(x, y, bc_type="periodic", axis=0,
+                       extrapolate="periodic")
+
+
 def fit_periodic_spline(
     s_knots: np.ndarray, values: np.ndarray, period: float,
     dtype=jnp.float32,

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax import Array
 
 from racing_lmpc_tpu.ops.math import align_abscissa, lateral_sign, wrap_to_pi
-from racing_lmpc_tpu.ops.spline import PeriodicSpline, fit_periodic_spline
+from racing_lmpc_tpu.ops.spline import (
+    PeriodicSpline, fit_host_spline, fit_periodic_spline)
 
 NEWTON_ITERS = 12
 
@@ -85,6 +86,12 @@ class RacingTrajectory:
         self.scalar_spline: PeriodicSpline = fit_periodic_spline(
             s, np.stack([table[:, T.SPEED], d_left, d_right], axis=-1),
             self.total_length, dtype=dtype)
+        # host-side (SciPy) twins for setup paths — no device dispatch
+        self._xy_cs = fit_host_spline(
+            s, table[:, [T.PX, T.PY]], self.total_length)
+        self._scalar_cs = fit_host_spline(
+            s, np.stack([table[:, T.SPEED], d_left, d_right], axis=-1),
+            self.total_length)
 
         # waypoint arrays for the nearest-point seed (KD-tree replacement)
         self.waypoints_xy = jnp.asarray(table[:, [T.PX, T.PY]], dtype=dtype)
@@ -136,6 +143,31 @@ class RacingTrajectory:
         """
         d = self.xy_spline.eval_d(s)
         dd = self.xy_spline.eval_d2(s)
+        num = d[..., 0] * dd[..., 1] - d[..., 1] * dd[..., 0]
+        den = (d[..., 0] ** 2 + d[..., 1] ** 2) ** 1.5
+        return num / den
+
+    # ------------------------------------------------------------------
+    # host-side (numpy) accessors for setup paths: identical math to the
+    # device accessors above, evaluated through the SciPy twins so that
+    # scenario construction never touches the device
+    # ------------------------------------------------------------------
+    def velocity_np(self, s: np.ndarray) -> np.ndarray:
+        return self._scalar_cs(np.asarray(s))[..., 0]
+
+    def left_boundary_np(self, s: np.ndarray) -> np.ndarray:
+        return self._scalar_cs(np.asarray(s))[..., 1]
+
+    def right_boundary_np(self, s: np.ndarray) -> np.ndarray:
+        return self._scalar_cs(np.asarray(s))[..., 2]
+
+    def yaw_np(self, s: np.ndarray) -> np.ndarray:
+        d = self._xy_cs(np.asarray(s), 1)
+        return np.arctan2(d[..., 1], d[..., 0])
+
+    def curvature_np(self, s: np.ndarray) -> np.ndarray:
+        d = self._xy_cs(np.asarray(s), 1)
+        dd = self._xy_cs(np.asarray(s), 2)
         num = d[..., 0] * dd[..., 1] - d[..., 1] * dd[..., 0]
         den = (d[..., 0] ** 2 + d[..., 1] ** 2) ** 1.5
         return num / den

@@ -138,3 +138,19 @@ def test_trajectory_map():
     assert m.names[2] == "barc_center"
     tr = m.get_trajectory(15)
     assert tr.total_length > 10.0
+
+
+def test_host_accessors_match_device(barc):
+    """The SciPy host twins must agree with the device splines."""
+    rng = np.random.default_rng(3)
+    s = rng.uniform(-barc.total_length, 2 * barc.total_length, (7, 5))
+    sj = jnp.asarray(s, dtype=jnp.float32)
+    for host_fn, dev_fn in [
+        (barc.curvature_np, barc.curvature),
+        (barc.velocity_np, barc.velocity),
+        (barc.left_boundary_np, barc.left_boundary),
+        (barc.right_boundary_np, barc.right_boundary),
+        (barc.yaw_np, barc.yaw),
+    ]:
+        np.testing.assert_allclose(
+            host_fn(s), np.asarray(dev_fn(sj)), rtol=2e-4, atol=2e-4)
