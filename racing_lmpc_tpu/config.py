@@ -199,7 +199,7 @@ class RacingMPCConfig:
     qp_method: str = "ipm"      # "ipm" (interior point) | "admm" (OSQP-style)
     qp_ip_iters: int = 18       # IPM Newton iterations (fixed count;
                                 # 15 already holds the 1e-3 control budget)
-    qp_iters: int = 200         # ADMM iterations
+    qp_iters: int = 400         # ADMM iterations
     qp_rho: float = 0.1
     qp_sigma: float = 1e-6
     qp_alpha: float = 1.6

@@ -36,9 +36,16 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from racing_lmpc_tpu.mpc.qp import QPData, QPSolution, ruiz_equilibrate
+from racing_lmpc_tpu.mpc.qp import (
+    QPData, QPSolution, ruiz_equilibrate, scaled_residuals)
 
 _EPS = 1e-10
+# Central-path floor: once mu (on the Ruiz-scaled problem) drops below this,
+# the s.z products sit at the f32 noise floor and further Newton steps
+# CORRUPT the converged iterate (observed: rd_rel 5e-7 at mu=1e-6, jumping
+# to 5e-3 on the next step at mu=6e-8).  Below the floor the step is
+# zeroed, which acts as early termination with the iterate frozen.
+_MU_FLOOR = 1e-7
 
 
 def _ipm_core(data: QPData, iters: int, delta: float,
@@ -51,9 +58,12 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     ``eq_rows``: optional STATIC index array of the equality rows (known at
     problem-build time for the MPC QPs).  When given, each Newton system is
     solved by condensed Cholesky + Schur complement on the compact equality
-    block — two well-mapped batched factorizations instead of one pivoted LU
+    block — two pivot-free batched factorizations instead of one pivoted LU
     of the full (n+m) KKT, which is the difference between ~1% and decent
     MXU utilization on TPU.
+
+    ``kkt_perm`` / ``pair_safe`` are retained for API compatibility with the
+    earlier interleaved-LDL^T path and are ignored by the Cholesky path.
     """
     P, q, A, l, u = data
     n = P.shape[0]
@@ -80,61 +90,71 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     kkt_22 = -jnp.diag(jnp.where(is_eq, delta, 1.0).astype(dtype))
 
     if eq_rows is not None:
-        # Compact quasi-definite KKT: with the equality rows known
-        # statically, the Newton system shrinks from (n + m) to (n + m_eq),
-        # and — being quasi-definite after regularization — it factors with
-        # the UNPIVOTED blocked LDL^T (mpc/ldlt.py).  On TPU this replaces
-        # the pivot-dominated batched LU with pure matmuls.
+        # Condensed SPD path: with the equality rows known statically the
+        # Newton KKT  [[H, Ae'], [Ae, -delta I]]  is solved by Cholesky of
+        # H (SPD) + Cholesky of the Schur complement S = Ae H^-1 Ae' + dI
+        # (SPD).  Both are PIVOT-FREE — XLA's batched Cholesky/trsm on TPU
+        # run as blocked matmul pipelines (~0.2 ms/iter at batch 256),
+        # whereas the pivoted-LU custom call this replaces cost 31 ms/iter
+        # (profiled: 7 x 4.4 ms block inversions per LDL^T factorization).
         #
-        # Stability requires a good STATIC ordering: eliminating "free"
-        # variables (tiny delta pivots, e.g. the abscissa states) before the
-        # equality rows that define them causes unbounded element growth in
-        # f32.  ``kkt_perm`` interleaves each variable with its defining
-        # equality dual (built by the MPC layout), so every 64-block pivot
-        # is a well-conditioned locally quasi-definite mix, inverted exactly
-        # (pivoted) inside the block.
-        from racing_lmpc_tpu.mpc.ldlt import (
-            ldlt_factor, ldlt_solve, unpivoted_inverse_pairs)
+        # f32 stability: the barrier weights D span ~[1e-8, 1e8]; clipping
+        # them to D_CAP bounds cond(H) so the Cholesky cannot break down,
+        # and one round of iterative refinement on the EXACT (unclipped)
+        # KKT restores the Newton direction to the accuracy the 1e-3
+        # control-match budget needs.  (An inexact-Newton step from the
+        # clipped system alone is already descent-direction-correct; the
+        # refinement mostly tightens the last IPM iterations.)
+        D_CAP = 1e6
+        # primal proximal regularization: with the condensed QP every
+        # variable carries curvature (R/R_d/q_boundary/hull/barrier), so a
+        # light lift keeps chol(H) f32-safe without biasing the direction.
+        delta_p = 1e-6
 
         Ae = A[eq_rows]                      # (m_eq, n), static shape
         me = Ae.shape[0]
-        dim = n + me
-        block = 64
-        pad = (-dim) % block
-        kdim = dim + pad
-        if kkt_perm is None:
-            perm = jnp.arange(dim)
-        else:
-            perm = jnp.asarray(kkt_perm)
-        inv_perm = jnp.zeros((dim,), dtype=perm.dtype).at[perm].set(
-            jnp.arange(dim, dtype=perm.dtype))
+        I_me = jnp.eye(me, dtype=dtype)
+
+        def tri(Lmat, v, transpose=False):
+            return jax.lax.linalg.triangular_solve(
+                Lmat, v[:, None], left_side=True, lower=True,
+                transpose_a=transpose)[:, 0]
 
         def make_solver(D):
-            H = P + delta * I_n + (A.T * D) @ A
-            K = jnp.zeros((kdim, kdim), dtype=dtype)
-            K = K.at[:n, :n].set(H)
-            K = K.at[:n, n:dim].set(Ae.T)
-            K = K.at[n:dim, :n].set(Ae)
-            K = K.at[n:dim, n:dim].set(-delta * jnp.eye(me, dtype=dtype))
-            Kp = K.at[:dim, :dim].set(K[perm][:, perm])
-            # identity on the padding keeps the factorization well-posed
-            Kp = Kp.at[dim:, dim:].set(jnp.eye(pad, dtype=dtype))
-            # Block inverses use the (small) pivoted LU: the pivot-free
-            # pairwise-GJ alternative (unpivoted_inverse_pairs) loses too
-            # much precision on blocks whose barrier weights span ~1e8 in
-            # f32 — revisit as a Pallas kernel with in-block pivoting.
-            # (pair_safe reserved for that path; ordering still matters.)
-            fac = ldlt_factor(Kp, block=block)
+            Dc = jnp.minimum(D, D_CAP)
+            H = P + delta_p * I_n + (A.T * Dc) @ A
+            L = jnp.linalg.cholesky(H)
+
+            if me == 0:
+                def solve(r1, r2):
+                    x = tri(L, tri(L, r1), transpose=True)
+                    rx = r1 - H @ x
+                    x = x + tri(L, tri(L, rx), transpose=True)
+                    return x, jnp.zeros(m, dtype=dtype)
+                return solve
+
+            T = jax.lax.linalg.triangular_solve(
+                L, Ae.T, left_side=True, lower=True)        # L^-1 Ae'
+            S = T.T @ T + delta * I_me
+            Ls = jnp.linalg.cholesky(S)
+
+            def kkt_solve(r1, r2c):
+                z = tri(L, r1)
+                y = tri(Ls, T.T @ z - r2c)
+                y = tri(Ls, y, transpose=True)
+                x = tri(L, z - T @ y, transpose=True)
+                return x, y
 
             def solve(r1, r2):
                 r2c = r2[eq_rows]
-                rhs = jnp.concatenate([r1, r2c])
-                rhs_p = jnp.zeros((kdim,), dtype=dtype).at[:dim].set(rhs[perm])
-                s0 = ldlt_solve(fac, rhs_p)
-                s0 = s0 + ldlt_solve(fac, rhs_p - Kp @ s0)
-                s = s0[:dim][inv_perm]
-                dy = jnp.zeros(m, dtype=dtype).at[eq_rows].set(s[n:dim])
-                return s[:n], dy
+                x, y = kkt_solve(r1, r2c)
+                # one refinement round against the clipped KKT (f32)
+                rx = r1 - (H @ x + Ae.T @ y)
+                ry = r2c - (Ae @ x - delta * y)
+                x2, y2 = kkt_solve(rx, ry)
+                x, y = x + x2, y + y2
+                dy = jnp.zeros(m, dtype=dtype).at[eq_rows].set(y)
+                return x, dy
             return solve
     else:
         def make_solver(D):
@@ -226,13 +246,22 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         a_p = jnp.minimum(max_step(s_l, dsl, has_l), max_step(s_u, dsu, has_u))
         a_d = jnp.minimum(max_step(z_l, dzl, has_l), max_step(z_u, dzu, has_u))
         alpha = jnp.minimum(a_p, a_d)
+        # freeze once the central path reaches the f32 floor
+        alpha = jnp.where(mu > _MU_FLOOR, alpha, 0.0)
+        # NaN guard: if a Cholesky broke down (ill-conditioned linearization)
+        # the step is garbage — keep the iterate instead of poisoning it.
+        step_ok = (jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dy_c))
+                   & jnp.all(jnp.isfinite(dsl)) & jnp.all(jnp.isfinite(dsu))
+                   & jnp.all(jnp.isfinite(dzl)) & jnp.all(jnp.isfinite(dzu)))
+        alpha = jnp.where(step_ok, alpha, 0.0)
+        nn = jnp.nan_to_num
 
-        x = x + alpha * dx_c
-        y_eq = y_eq + alpha * dy_c
-        s_l = jnp.where(has_l, jnp.maximum(s_l + alpha * dsl, _EPS), s_l)
-        s_u = jnp.where(has_u, jnp.maximum(s_u + alpha * dsu, _EPS), s_u)
-        z_l = jnp.where(has_l, jnp.maximum(z_l + alpha * dzl, 0.0), z_l)
-        z_u = jnp.where(has_u, jnp.maximum(z_u + alpha * dzu, 0.0), z_u)
+        x = x + alpha * nn(dx_c)
+        y_eq = y_eq + alpha * nn(dy_c)
+        s_l = jnp.where(has_l, jnp.maximum(s_l + alpha * nn(dsl), _EPS), s_l)
+        s_u = jnp.where(has_u, jnp.maximum(s_u + alpha * nn(dsu), _EPS), s_u)
+        z_l = jnp.where(has_l, jnp.maximum(z_l + alpha * nn(dzl), 0.0), z_l)
+        z_u = jnp.where(has_u, jnp.maximum(z_u + alpha * nn(dzu), 0.0), z_u)
         return (x, s_l, s_u, z_l, z_u, y_eq), None
 
     (x, s_l, s_u, z_l, z_u, y_eq), _ = jax.lax.scan(
@@ -270,10 +299,12 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         c = jnp.asarray(1.0, dtype=data.P.dtype)
     xs, ys = _ipm_core(sdata, iters=iters, delta=delta, eq_rows=eq_rows,
                        kkt_perm=kkt_perm, pair_safe=pair_safe)
+    rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)
     x = xs * D
     y = ys * E / c
     z = jnp.clip(data.A @ x, data.l, data.u)
     r_prim = jnp.max(jnp.abs(data.A @ x - z))
     r_dual = jnp.max(jnp.abs(data.P @ x + data.q + data.A.T @ y))
     obj = 0.5 * x @ (data.P @ x) + data.q @ x
-    return QPSolution(x=x, y=y, z=z, r_prim=r_prim, r_dual=r_dual, obj=obj)
+    return QPSolution(x=x, y=y, z=z, r_prim=r_prim, r_dual=r_dual, obj=obj,
+                      rp_rel=rp_rel, rd_rel=rd_rel)

@@ -53,9 +53,35 @@ class QPSolution(NamedTuple):
     x: Array          # (n,) primal solution
     y: Array          # (m,) dual solution
     z: Array          # (m,) constraint values A x (projected)
-    r_prim: Array     # () final primal residual (inf-norm)
-    r_dual: Array     # () final dual residual (inf-norm)
+    r_prim: Array     # () final primal residual (inf-norm, unscaled data)
+    r_dual: Array     # () final dual residual (inf-norm, unscaled data)
     obj: Array        # () objective value
+    rp_rel: Array     # () relative primal residual on the SCALED problem
+    rd_rel: Array     # () relative dual residual on the SCALED problem
+
+
+def scaled_residuals(sdata: QPData, xs: Array, ys: Array) -> tuple[Array, Array]:
+    """OSQP-style *scaled termination* residuals.
+
+    The raw (unscaled) dual residual |Px + q + A'y| is dominated by f32
+    cancellation noise when the condensed MPC data spans ~1e4-1e5 (BARC's
+    2.2 kg car gives state/control sensitivities of that size), even when
+    the solution matches an f64 oracle to 1e-4.  Residuals on the
+    Ruiz-equilibrated problem are O(1)-conditioned and are the meaningful
+    convergence measure (OSQP's ``scaled_termination``), with the OSQP
+    relative denominators max(|Ax|,|z|) / max(|Px|,|A'y|,|q|).
+    """
+    Axs = sdata.A @ xs
+    zs = jnp.clip(Axs, sdata.l, sdata.u)
+    rp = jnp.max(jnp.abs(Axs - zs))
+    rp_rel = rp / (jnp.maximum(jnp.max(jnp.abs(Axs)), jnp.max(jnp.abs(zs))) + 1.0)
+    Pxs = sdata.P @ xs
+    Atys = sdata.A.T @ ys
+    rd = jnp.max(jnp.abs(Pxs + sdata.q + Atys))
+    rd_rel = rd / (jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Pxs)), jnp.max(jnp.abs(Atys))),
+        jnp.max(jnp.abs(sdata.q))) + 1.0)
+    return rp_rel, rd_rel
 
 
 def ruiz_equilibrate(data: QPData):
@@ -262,10 +288,12 @@ def _solve_qp_inner(data, iters, rho, sigma, alpha, do_polish, x0, y0):
                             alpha=alpha, x0=x0s, y0=y0s)
     if do_polish:
         xs, ys = polish(sdata, xs, ys)
+    rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)
     x = xs * D
     y = ys * E / c
     z = jnp.clip(data.A @ x, data.l, data.u)
     r_prim = jnp.max(jnp.abs(data.A @ x - z))
     r_dual = jnp.max(jnp.abs(data.P @ x + data.q + data.A.T @ y))
     obj = 0.5 * x @ (data.P @ x) + data.q @ x
-    return QPSolution(x=x, y=y, z=z, r_prim=r_prim, r_dual=r_dual, obj=obj)
+    return QPSolution(x=x, y=y, z=z, r_prim=r_prim, r_dual=r_dual, obj=obj,
+                      rp_rel=rp_rel, rd_rel=rd_rel)

@@ -5,34 +5,47 @@ the reference.  The reference assembles a parametric CasADi ``Opti`` problem
 once (variables X, U, dU with fixed diagonal scaling, racing_mpc.cpp:36-55)
 and per step either hands the linearized problem to OSQP
 (``full_dynamics=false``, :85-103,168-187) or the exact nonlinear problem to
-IPOPT (:67-84).  TPU-native redesign:
+IPOPT (:67-84).  TPU-native redesign — **condensed** RTI:
 
-- the QP is assembled **inside jit** from per-stage linearizations
-  (``vmap`` of the model's discrete Jacobian over the horizon) into dense
-  (P, q, A, l, u) with statically precomputed scatter indices;
-- the QP is solved by the batched ADMM+polish solver (``mpc.qp``), so a
-  whole scenario batch solves as one ``vmap``-ed call on the MXU;
+- per-stage linearizations (``vmap`` of the model's discrete Jacobian over
+  the horizon) are *condensed once per solve*: states are eliminated through
+  the affine dynamics  x_{i+1} = A_i x_i + B_i u_i + g_i  (an unrolled chain
+  of (nx, nx) matmuls), control rates through  du_i = (u_i - u_{i-1}) / t_i,
+  and the convex-hull slack through its defining equality.  What remains is
+  a small dense QP over  w = [u, sigma_boundary, lambda]  (~87 vars for the
+  BARC N=20 LMPC) in which EVERY variable carries real curvature (R, R_d,
+  q_boundary, hull weights, barriers) — unlike the sparse KKT, whose "free"
+  state/stage pivots force pivoted factorizations that are 500x slower than
+  Cholesky on TPU (pivoted-LU custom calls, profiled at 31 of 56 ms/IPM
+  iteration).  The single remaining equality (sum lambda = 1, plus the hull
+  rows when the hull is hard) is handled by a tiny Schur complement.
+- the QP is solved by the batched fixed-iteration Mehrotra IPM (``mpc.ipm``,
+  Cholesky + Schur, pivot-free) or the OSQP-style ADMM (``mpc.qp``); a whole
+  scenario batch solves as one ``vmap``-ed call on the MXU;
 - the IPOPT bootstrap becomes an SQP loop (``solve_sqp``): re-linearize at
   the iterate and re-solve the same QP — same kernel, more iterations;
 - safe-set bookkeeping (recorder / query) lives in ``safeset`` and the
   control loop; the solver takes the padded (K, nx) safe-set batch as a
   plain input, mirroring the fixed-K padding of racing_mpc.cpp:263-277.
 
-Constraint/cost structure replicated from the reference:
+Constraint/cost structure replicated from the reference (all rows now over
+the condensed variables):
   - soft track boundary with shared scalar slack (build_boundary_constraint,
     racing_mpc.cpp:524-543), margin includes half vehicle width;
   - per-stage model control/rate bounds (model.control_bounds — the QP-path
     subset of add_nlp_constraints);
-  - primal state/control boxes (:147-148);
-  - time-varying affine dynamics rows x+ = A x + B u + g (:168-187);
+  - primal state/control boxes (:147-148) — state boxes become dense rows
+    through the state-sensitivity matrix;
+  - time-varying affine dynamics (:168-187) — exactly eliminated;
   - control-rate coupling u_{i-1} + du_i t_i = u_i with u_{-1} = u_ic
-    (:189-197);
-  - initial-state equality (:199-201);
+    (:189-197) — exactly eliminated;
+  - initial-state equality (:199-201) — absorbed into the condensing
+    offset f_0 = x_ic;
   - tracking cost on (contour, heading, vel, vy, vyaw) + u'Ru + du'R_d du,
     terminal x10 (build_tracking_cost, :442-477);
   - LMPC: convex-combination lambda over the safe set, terminal convex-hull
-    constraint with quadratic slack, cost ss_costs . lambda
-    (build_lmpc_cost, :479-522).
+    constraint with quadratic slack (slack eliminated into the cost),
+    cost ss_costs . lambda (build_lmpc_cost, :479-522).
 """
 
 from __future__ import annotations
@@ -52,7 +65,9 @@ from racing_lmpc_tpu.mpc.qp import QPData, QPSolution, solve_qp
 from racing_lmpc_tpu.mpc.ipm import solve_qp_ip
 from racing_lmpc_tpu.ops.math import align_abscissa
 
-# fixed diagonal variable scaling (racing_mpc.cpp:36-37)
+# fixed diagonal variable scaling (racing_mpc.cpp:36-37); states are
+# eliminated by the condensing, so only the control scaling is applied to
+# decision variables — scale_x is kept for warm-start compatibility.
 _SCALE_X6 = np.array([2000.0, 10.0, 0.1, 80.0, 2.0, 2.0])
 _SCALE_U2 = np.array([10.0, 0.3])
 _SCALE_U3 = np.array([10.0, 10.0, 0.3])
@@ -88,29 +103,30 @@ class MPCOutput(NamedTuple):
 
 @dataclass
 class _Layout:
-    """Static index layout of the stacked decision vector / constraint rows."""
+    """Static index layout of the condensed decision vector / rows.
+
+    Variables:  w = [ubar ((N-1) nu, scaled), sb (1 if soft boundary),
+    lambda (K if learning)].  States and control rates are affine in w.
+    """
     nx: int
     nu: int
     N: int
     K: int
     has_bslack: bool
-    has_hull_slack: bool
+    has_hull_slack: bool      # hull slack eliminated into the cost
     learning: bool
     n: int = 0
     m: int = 0
 
     def __post_init__(self):
         nx, nu, N, K = self.nx, self.nu, self.N, self.K
-        self.x0_off = 0
-        self.u0_off = N * nx
-        self.du0_off = self.u0_off + (N - 1) * nu
-        off = self.du0_off + (N - 1) * nu
+        self.nuu = (N - 1) * nu          # stacked scaled controls
+        self.u0_off = 0
+        off = self.nuu
         self.sb_off = off
         off += 1 if self.has_bslack else 0
         self.lam_off = off
         off += K if self.learning else 0
-        self.hull_off = off
-        off += nx if self.has_hull_slack else 0
         self.n = off
 
         # constraint rows
@@ -121,25 +137,17 @@ class _Layout:
             self.r_sb = r; r += 1
         self.r_u_bnd = r; r += (N - 1) * nu
         self.r_du_bnd = r; r += (N - 1) * nu
-        self.r_x_box = r; r += (N - 1) * nx
+        self.r_x_box = r; r += (N - 1) * nx      # stages 1..N-1
         self.r_u_box = r; r += (N - 1) * nu
-        self.r_dyn = r; r += (N - 1) * nx
-        self.r_rate = r; r += (N - 1) * nu
-        self.r_ic = r; r += nx
         if self.learning:
             self.r_lam_pos = r; r += K
             self.r_lam_sum = r; r += 1
-            self.r_hull = r; r += nx
+            if not self.has_hull_slack:
+                self.r_hull = r; r += nx
         self.m = r
-
-    def ix(self, i):
-        return self.x0_off + i * self.nx
 
     def iu(self, i):
         return self.u0_off + i * self.nu
-
-    def idu(self, i):
-        return self.du0_off + i * self.nu
 
 
 class RacingMPC:
@@ -166,8 +174,6 @@ class RacingMPC:
         self.hull_w = hull_w if self.has_hull_slack else np.zeros(nx)
 
         # stage cost index map: which state component carries which weight.
-        # For the shipped models the base-state conversion is identity on
-        # these components (single_track: exactly identity).
         self.idx_contour = int(BaseXIndex.PY) if nx >= 2 else 1
         self.idx_heading = int(BaseXIndex.YAW)
         self.idx_vel = int(BaseXIndex.VX) if nx == 6 else nx - 1
@@ -179,223 +185,245 @@ class RacingMPC:
         self.bounds = model.control_bounds()
         self.margin = config.margin + model.base_config.chassis.b / 2.0
 
-        # static equality-row indices (dynamics, rate coupling, initial
-        # condition, lambda simplex + hull) — lets the IPM use the condensed
-        # Cholesky/Schur KKT path instead of a pivoted LU of the full KKT.
+        # remaining equality rows after condensing: the lambda simplex (and
+        # the hull rows when the hull constraint is hard).  Tiny static set
+        # -> tiny Schur complement in the Cholesky IPM.
         L = self.layout
-        eq = [np.arange(L.r_dyn, L.r_dyn + (N - 1) * nx),
-              np.arange(L.r_rate, L.r_rate + (N - 1) * nu),
-              np.arange(L.r_ic, L.r_ic + nx)]
+        eq = []
         if config.learning:
             eq.append(np.array([L.r_lam_sum]))
-            eq.append(np.arange(L.r_hull, L.r_hull + nx))
-        self.eq_rows = jnp.asarray(np.concatenate(eq))
-        self.kkt_perm = jnp.asarray(self._build_kkt_perm())
-        # pairwise (2x2-pivot) elimination is safe when consecutive order
-        # entries form coupled-or-healthy pairs at even offsets — holds for
-        # even nu, and for LMPC only when the hull slack pairs the hull rows
-        self.kkt_pair_safe = (nu % 2 == 0) and (
-            not config.learning or self.has_hull_slack)
+            if not self.has_hull_slack:
+                eq.append(np.arange(L.r_hull, L.r_hull + nx))
+        self.eq_rows = jnp.asarray(
+            np.concatenate(eq) if eq else np.zeros((0,), dtype=np.int64))
+
+        # static tracking weight table (N, nx): 2*w entries; terminal x10
+        Wv = np.zeros((N, nx))
+        if not config.learning:
+            for i in range(N):
+                term = i == N - 1
+                Wv[i, self.idx_contour] = config.q_contour * (10.0 if term else 1.0)
+                Wv[i, self.idx_heading] = config.q_heading * (10.0 if term else 1.0)
+                Wv[i, self.idx_vel] = config.q_vel * (10.0 if term else 1.0)
+                if not term:
+                    if self.idx_vy is not None:
+                        Wv[i, self.idx_vy] = config.q_vy
+                    if self.idx_vyaw is not None:
+                        Wv[i, self.idx_vyaw] = config.q_vyaw
+        self._Wv = Wv
 
         self._solve_jit = jax.jit(self._solve_impl)
         self._solve_batch_jit = jax.jit(jax.vmap(self._solve_impl))
 
-    def _build_kkt_perm(self) -> np.ndarray:
-        """Static ordering of the compact KKT [vars; equality duals] that
-        interleaves each variable with its defining equality row.
+    # ------------------------------------------------------------------
+    def _condense(self, inp: MPCInput):
+        """Feedback-pre-stabilized state/rate elimination.
 
-        This is the stage-wise (Riccati-like) ordering: x_0 with the initial
-        condition rows, each du_i with its rate-coupling row, each x_{i+1}
-        with its dynamics row, hull slacks with the convex-hull rows.  Under
-        the unpivoted block LDL^T it keeps every leading minor a truncated
-        (well-posed) MPC KKT, which bounds element growth — the naive
-        [all vars; all duals] order places delta-sized pivots first and
-        destroys f32 accuracy.
+        Plain condensing multiplies the stage Jacobians ``A_i`` down the
+        horizon; for the single-track model below ~1.2 m/s the linearized
+        yaw channel is per-step UNSTABLE (|eig| ~ 10 per 25 ms step), so the
+        chain products reach ~1e9 and the condensed Hessian ~1e18 — far
+        beyond f32 (and marginal even in f64).  The standard cure is to
+        reparametrize the controls with a stabilizing time-varying feedback
+
+            ubar_i = v_i - K_i (x_i - xref_i)
+
+        (K_i from one backward LQR/Riccati scan over the same linearization)
+        so every chain product uses the closed-loop ``A_i - B_i K_i``, whose
+        spectral radius the Riccati gain pulls inside the unit circle.  The
+        QP is solved for v; controls/states stay affine in v.
+
+        Returns (F, f, MU, mu0):
+        - unscaled states:         X_i    = F[i] @ v + f[i]     (nx, nvv)
+        - stacked scaled controls: ubar   = MU @ v + mu0        (nvv, nvv)
+        with v the stacked decision controls (same scaling as ubar).
         """
         L = self.layout
-        nx, nu, N, K = self.nx, self.nu, self.N, self.K
-        n = L.n
-        dyn_d = lambda i, a: n + i * nx + a
-        rate_d = lambda i, c: n + (N - 1) * nx + i * nu + c
-        ic_d = lambda a: n + (N - 1) * nx + (N - 1) * nu + a
-        lam_sum_d = n + (N - 1) * nx + (N - 1) * nu + nx
-        hull_d = lambda a: lam_sum_d + 1 + a
+        nx, nu, N = self.nx, self.nu, self.N
+        dtype = inp.x_ic.dtype
+        su = jnp.asarray(self.scale_u, dtype=dtype)
 
-        order: list[int] = []
-        for a in range(nx):
-            order += [L.ix(0) + a, ic_d(a)]
+        As, Bs, gs = jax.vmap(self.model.discrete_dynamics_jacobian)(
+            inp.X_ref[:-1], inp.U_ref, inp.curvatures[:-1], inp.T_ref)
+        Bs_s = Bs * su[None, None, :]            # absorb control scale
+
+        # backward Riccati for the pre-stabilizing gains (scaled controls,
+        # states weighted by the fixed diagonal scaling racing_mpc.cpp:36)
+        sx = jnp.asarray(self.scale_x, dtype=dtype)
+        Q_lqr = jnp.diag(1.0 / sx ** 2)
+        I_nu = jnp.eye(nu, dtype=dtype)
+
+        def riccati(Pn, AB):
+            Ai, Bi = AB
+            BtP = Bi.T @ Pn
+            Ki = jnp.linalg.solve(I_nu + BtP @ Bi, BtP @ Ai)
+            Acl = Ai - Bi @ Ki
+            Pi = Q_lqr + Ai.T @ Pn @ Acl
+            return 0.5 * (Pi + Pi.T), Ki
+
+        _, Ks = jax.lax.scan(riccati, Q_lqr, (As, Bs_s), reverse=True)
+
+        Fs = [jnp.zeros((nx, L.nuu), dtype=dtype)]
+        fs = [inp.x_ic]
+        MUs, mu0s = [], []
         for i in range(N - 1):
-            order += [L.iu(i) + c for c in range(nu)]
-            for c in range(nu):
-                order += [L.idu(i) + c, rate_d(i, c)]
-            for a in range(nx):
-                order += [L.ix(i + 1) + a, dyn_d(i, a)]
-        if self.config.learning:
-            # hull rows paired with the hull slacks, then the simplex row
-            # paired with lambda_0 (its strongest coupling), then the rest:
-            # eliminating the hull duals first projects O(1) Schur terms
-            # onto the lambda block, giving the curvature-free lambdas
-            # stable pivots; every even-offset pair stays 2x2-invertible.
-            if self.has_hull_slack:
-                for a in range(nx):
-                    order += [L.hull_off + a, hull_d(a)]
-            else:
-                order += [hull_d(a) for a in range(nx)]
-            order += [L.lam_off, lam_sum_d]
-            order += [L.lam_off + k for k in range(1, K)]
-        if self.has_bslack:
-            order.append(L.sb_off)
-        return np.asarray(order, dtype=np.int32)
+            # ubar_i = v_i - K_i (x_i - xref_i)
+            MUi = (-Ks[i] @ Fs[i]).at[:, i * nu:(i + 1) * nu].add(I_nu)
+            mu0i = -Ks[i] @ (fs[i] - inp.X_ref[i])
+            MUs.append(MUi)
+            mu0s.append(mu0i)
+            Acl = As[i] - Bs_s[i] @ Ks[i]
+            Fi = Acl @ Fs[i]
+            Fi = Fi.at[:, i * nu:(i + 1) * nu].add(Bs_s[i])
+            Fs.append(Fi)
+            # x+ = A x + B ubar + g with ubar_i = (e_i - K_i F_i) v + mu0_i:
+            # offset recursion is A f + B mu0 + g == Acl f + B K xref + g
+            fs.append(As[i] @ fs[i] + Bs_s[i] @ mu0i + gs[i])
+        F = jnp.stack(Fs)                        # (N, nx, nvv)
+        f = jnp.stack(fs)                        # (N, nx)
+        MU = jnp.concatenate(MUs, axis=0)        # (nvv, nvv) block rows
+        mu0 = jnp.concatenate(mu0s, axis=0)      # (nvv,)
+        return F, f, MU, mu0
+
+    def _rate_map(self, inp: MPCInput, MU: Array, mu0: Array):
+        """Scaled rate map through the feedback map: dubar = Gm @ v + gm
+        with dubar_i = (ubar_i - ubar_{i-1}) / t_i, ubar_{-1} = u_ic / su."""
+        nu = self.nu
+        dtype = inp.x_ic.dtype
+        su = jnp.asarray(self.scale_u, dtype=dtype)
+        diag = jnp.repeat(1.0 / inp.T_ref, nu)               # (nvv,)
+        Gd = jnp.diag(diag) - jnp.diag(diag[nu:], -nu)
+        gd0 = jnp.zeros((self.layout.nuu,), dtype=dtype).at[:nu].set(
+            -(inp.u_ic / su) * diag[:nu])
+        return Gd @ MU, Gd @ mu0 + gd0
 
     # ------------------------------------------------------------------
-    def _build_qp(self, inp: MPCInput) -> QPData:
+    def _build_qp(self, inp: MPCInput):
+        """Condensed QP assembly.  Returns (QPData, aux) with aux the
+        affine maps needed to recover X/dU from the solution."""
         L = self.layout
         nx, nu, N, K = self.nx, self.nu, self.N, self.K
         dtype = inp.x_ic.dtype
-        sx = jnp.asarray(self.scale_x, dtype=dtype)
         su = jnp.asarray(self.scale_u, dtype=dtype)
         cfg = self.config
 
         # wrap reference abscissae into the vehicle's current period
         # (racing_mpc.cpp:219-223)
-        X_ref = inp.X_ref.at[:, 0].set(align_abscissa(
+        inp = inp._replace(X_ref=inp.X_ref.at[:, 0].set(align_abscissa(
             inp.X_ref[:, 0], jnp.full((N,), inp.x_ic[0], dtype=dtype),
-            jnp.full((N,), inp.total_length, dtype=dtype)))
+            jnp.full((N,), inp.total_length, dtype=dtype))))
 
-        # per-stage linearization at the reference (racing_mpc.cpp:168-187)
-        As, Bs, gs = jax.vmap(self.model.discrete_dynamics_jacobian)(
-            X_ref[:-1], inp.U_ref, inp.curvatures[:-1], inp.T_ref)
+        F, f, MU, mu0 = self._condense(inp)
+        Gm, gm = self._rate_map(inp, MU, mu0)
+        nuu = L.nuu
 
         P = jnp.zeros((L.n, L.n), dtype=dtype)
         q = jnp.zeros((L.n,), dtype=dtype)
         A = jnp.zeros((L.m, L.n), dtype=dtype)
         lo = jnp.full((L.m,), -jnp.inf, dtype=dtype)
         up = jnp.full((L.m,), jnp.inf, dtype=dtype)
-
         ar = np.arange
-        # ---- cost -----------------------------------------------------
-        # control effort/rate: P blocks 2*S R S on each u / du column
-        Ru = 2.0 * (self.scale_u[:, None] * self.R * self.scale_u[None, :])
-        Rdu = 2.0 * (self.scale_u[:, None] * self.R_d * self.scale_u[None, :])
-        u_rows = (L.u0_off + ar((N - 1) * nu)).reshape(N - 1, nu)
-        du_rows = (L.du0_off + ar((N - 1) * nu)).reshape(N - 1, nu)
-        P = P.at[u_rows[:, :, None], u_rows[:, None, :]].add(
-            jnp.broadcast_to(jnp.asarray(Ru, dtype=dtype), (N - 1, nu, nu)))
-        P = P.at[du_rows[:, :, None], du_rows[:, None, :]].add(
-            jnp.broadcast_to(jnp.asarray(Rdu, dtype=dtype), (N - 1, nu, nu)))
+
+        # ---- cost ------------------------------------------------------
+        # control effort: sum_i ubar' (su R su) ubar with ubar = MU v + mu0
+        # (P convention: 1/2 w'Pw)
+        Ru = 2.0 * jnp.asarray(
+            self.scale_u[:, None] * self.R * self.scale_u[None, :], dtype=dtype)
+        Ru_blk = jax.scipy.linalg.block_diag(*([Ru] * (N - 1)))
+        P = P.at[:nuu, :nuu].add(MU.T @ (Ru_blk @ MU))
+        q = q.at[:nuu].add(MU.T @ (Ru_blk @ mu0))
+        # rate effort through the rate map: dubar = Gm v + gm
+        Rdu = 2.0 * jnp.asarray(
+            self.scale_u[:, None] * self.R_d * self.scale_u[None, :], dtype=dtype)
+        Rdu_blk = jax.scipy.linalg.block_diag(*([Rdu] * (N - 1)))
+        P = P.at[:nuu, :nuu].add(Gm.T @ (Rdu_blk @ Gm))
+        q = q.at[:nuu].add(Gm.T @ (Rdu_blk @ gm))
 
         if cfg.learning:
             # LMPC cost: ss_costs . lambda (build_lmpc_cost, :504)
-            lam_rows = L.lam_off + ar(K)
-            q = q.at[lam_rows].add(inp.ss_j)
+            q = q.at[L.lam_off + ar(K)].add(inp.ss_j)
+            # hull slack eliminated: cost sum_a hw_a (X_N,a - [SS lam]_a)^2
             if self.has_hull_slack:
-                hull_rows = L.hull_off + ar(nx)
-                P = P.at[hull_rows, hull_rows].add(
-                    2.0 * jnp.asarray(self.hull_w, dtype=dtype))
+                hw = jnp.asarray(self.hull_w, dtype=dtype)
+                E = jnp.zeros((nx, L.n), dtype=dtype)
+                E = E.at[:, :nuu].set(F[N - 1])
+                E = E.at[:, L.lam_off:L.lam_off + K].set(-inp.ss_x.T)
+                P = P + 2.0 * (E.T * hw[None, :]) @ E
+                q = q + 2.0 * E.T @ (hw * f[N - 1])
         else:
-            # tracking stage cost (build_tracking_cost, :442-477)
-            def state_cost(i_rows, weights, refs):
-                # sum_i w * (s*xbar - ref)^2 -> P += 2 w s^2, q += -2 w s ref
-                return weights, refs
-            for i in range(N):
-                term = (i == N - 1)
-                w_c = cfg.q_contour * (10.0 if term else 1.0)
-                w_h = cfg.q_heading * (10.0 if term else 1.0)
-                w_v = cfg.q_vel * (10.0 if term else 1.0)
-                base = L.ix(i)
-                for idx, w in ((self.idx_contour, w_c), (self.idx_heading, w_h)):
-                    s = float(self.scale_x[idx])
-                    P = P.at[base + idx, base + idx].add(2.0 * w * s * s)
-                sv = float(self.scale_x[self.idx_vel])
-                P = P.at[base + self.idx_vel, base + self.idx_vel].add(2.0 * w_v * sv * sv)
-                q = q.at[base + self.idx_vel].add(-2.0 * w_v * sv * inp.vel_ref[i])
-                if not term:
-                    for idx, w in ((self.idx_vy, cfg.q_vy), (self.idx_vyaw, cfg.q_vyaw)):
-                        if idx is not None and w > 0:
-                            s = float(self.scale_x[idx])
-                            P = P.at[base + idx, base + idx].add(2.0 * w * s * s)
+            # tracking stage cost (build_tracking_cost, :442-477) over the
+            # eliminated states: cost = sum w_ij (X_ij - ref_ij)^2
+            Wv = jnp.asarray(self._Wv, dtype=dtype)          # (N, nx)
+            Ref = jnp.zeros((N, nx), dtype=dtype).at[:, self.idx_vel].set(
+                inp.vel_ref)
+            Fm = F.reshape(N * nx, nuu)
+            fv = f.reshape(N * nx)
+            wv = Wv.reshape(N * nx)
+            P = P.at[:nuu, :nuu].add(2.0 * (Fm.T * wv[None, :]) @ Fm)
+            q = q.at[:nuu].add(2.0 * Fm.T @ (wv * (fv - Ref.reshape(-1))))
 
         if self.has_bslack:
             P = P.at[L.sb_off, L.sb_off].add(2.0 * cfg.q_boundary)
 
-        # ---- track boundary (build_boundary_constraint, :524-543) -----
-        py_cols = L.x0_off + ar(N) * nx + self.idx_contour
-        s_py = float(self.scale_x[self.idx_contour])
+        # ---- track boundary (build_boundary_constraint, :524-543) -------
+        F_py = F[:, self.idx_contour, :]                     # (N, nuu)
+        f_py = f[:, self.idx_contour]
         rows_up = L.r_bound_up + ar(N)
         rows_lo = L.r_bound_lo + ar(N)
-        A = A.at[rows_up, py_cols].set(s_py)
-        A = A.at[rows_lo, py_cols].set(s_py)
+        A = A.at[rows_up, :nuu].set(F_py)
+        A = A.at[rows_lo, :nuu].set(F_py)
         if self.has_bslack:
             A = A.at[rows_up, L.sb_off].set(-1.0)   # PY - sb <= left - margin
             A = A.at[rows_lo, L.sb_off].set(1.0)    # PY + sb >= right + margin
             A = A.at[L.r_sb, L.sb_off].set(1.0)
             lo = lo.at[L.r_sb].set(0.0)
-        up = up.at[rows_up].set(inp.bound_left - self.margin)
-        lo = lo.at[rows_lo].set(inp.bound_right + self.margin)
+        up = up.at[rows_up].set(inp.bound_left - self.margin - f_py)
+        lo = lo.at[rows_lo].set(inp.bound_right + self.margin - f_py)
 
-        # ---- per-stage control & rate bounds (model QP constraints) ----
-        ub_rows = (L.r_u_bnd + ar((N - 1) * nu)).reshape(N - 1, nu)
-        dub_rows = (L.r_du_bnd + ar((N - 1) * nu)).reshape(N - 1, nu)
-        A = A.at[ub_rows, u_rows].set(jnp.broadcast_to(su, (N - 1, nu)))
-        A = A.at[dub_rows, du_rows].set(jnp.broadcast_to(su, (N - 1, nu)))
-        lo = lo.at[ub_rows.ravel()].set(
-            jnp.tile(jnp.asarray(self.bounds.u_lb, dtype=dtype), N - 1))
-        up = up.at[ub_rows.ravel()].set(
-            jnp.tile(jnp.asarray(self.bounds.u_ub, dtype=dtype), N - 1))
-        lo = lo.at[dub_rows.ravel()].set(
-            jnp.tile(jnp.asarray(self.bounds.du_lb, dtype=dtype), N - 1))
-        up = up.at[dub_rows.ravel()].set(
-            jnp.tile(jnp.asarray(self.bounds.du_ub, dtype=dtype), N - 1))
+        # ---- per-stage control & rate bounds (model QP constraints) -----
+        # control rows: su * ubar = su * (MU v + mu0)
+        ub_rows = L.r_u_bnd + ar(nuu)
+        su_t = jnp.tile(su, N - 1)
+        A = A.at[ub_rows[:, None], ar(nuu)[None, :]].set(su_t[:, None] * MU)
+        lo = lo.at[ub_rows].set(
+            jnp.tile(jnp.asarray(self.bounds.u_lb, dtype=dtype), N - 1)
+            - su_t * mu0)
+        up = up.at[ub_rows].set(
+            jnp.tile(jnp.asarray(self.bounds.u_ub, dtype=dtype), N - 1)
+            - su_t * mu0)
+        # rate rows: su * dubar = su * (Gm v + gm)
+        dub_rows = L.r_du_bnd + ar(nuu)
+        A = A.at[dub_rows[:, None], ar(nuu)[None, :]].set(su_t[:, None] * Gm)
+        lo = lo.at[dub_rows].set(
+            jnp.tile(jnp.asarray(self.bounds.du_lb, dtype=dtype), N - 1)
+            - su_t * gm)
+        up = up.at[dub_rows].set(
+            jnp.tile(jnp.asarray(self.bounds.du_ub, dtype=dtype), N - 1)
+            - su_t * gm)
 
-        # ---- primal boxes (racing_mpc.cpp:147-148), stages 0..N-2 ------
+        # ---- primal boxes (racing_mpc.cpp:147-148) ----------------------
+        # state boxes on stages 1..N-1 through the sensitivity rows
         xb_rows = (L.r_x_box + ar((N - 1) * nx)).reshape(N - 1, nx)
-        x_cols = (L.x0_off + ar((N - 1) * nx)).reshape(N - 1, nx)
-        A = A.at[xb_rows, x_cols].set(jnp.broadcast_to(sx, (N - 1, nx)))
+        A = A.at[L.r_x_box:L.r_x_box + (N - 1) * nx, :nuu].set(
+            F[1:].reshape((N - 1) * nx, nuu))
         x_min = np.asarray(cfg.x_min if len(cfg.x_min) == nx else [-np.inf] * nx)
         x_max = np.asarray(cfg.x_max if len(cfg.x_max) == nx else [np.inf] * nx)
+        fx = f[1:].reshape(-1)
+        lo = lo.at[xb_rows.ravel()].set(
+            jnp.tile(jnp.asarray(x_min, dtype=dtype), N - 1) - fx)
+        up = up.at[xb_rows.ravel()].set(
+            jnp.tile(jnp.asarray(x_max, dtype=dtype), N - 1) - fx)
+        # control boxes (same affine map as the control-bound rows)
         u_min = np.asarray(cfg.u_min if len(cfg.u_min) == nu else [-np.inf] * nu)
         u_max = np.asarray(cfg.u_max if len(cfg.u_max) == nu else [np.inf] * nu)
-        lo = lo.at[xb_rows.ravel()].set(jnp.tile(jnp.asarray(x_min, dtype=dtype), N - 1))
-        up = up.at[xb_rows.ravel()].set(jnp.tile(jnp.asarray(x_max, dtype=dtype), N - 1))
-        ubox_rows = (L.r_u_box + ar((N - 1) * nu)).reshape(N - 1, nu)
-        A = A.at[ubox_rows, u_rows].set(jnp.broadcast_to(su, (N - 1, nu)))
-        lo = lo.at[ubox_rows.ravel()].set(jnp.tile(jnp.asarray(u_min, dtype=dtype), N - 1))
-        up = up.at[ubox_rows.ravel()].set(jnp.tile(jnp.asarray(u_max, dtype=dtype), N - 1))
+        ubox_rows = L.r_u_box + ar(nuu)
+        A = A.at[ubox_rows[:, None], ar(nuu)[None, :]].set(su_t[:, None] * MU)
+        lo = lo.at[ubox_rows].set(
+            jnp.tile(jnp.asarray(u_min, dtype=dtype), N - 1) - su_t * mu0)
+        up = up.at[ubox_rows].set(
+            jnp.tile(jnp.asarray(u_max, dtype=dtype), N - 1) - su_t * mu0)
 
-        # ---- linearized dynamics equality (racing_mpc.cpp:168-187) -----
-        dyn_rows = (L.r_dyn + ar((N - 1) * nx)).reshape(N - 1, nx)
-        xi_cols = x_cols                         # stage i state columns
-        xip1_cols = x_cols + nx                  # stage i+1 state columns
-        # x_{i+1} scale block: +diag(sx)
-        A = A.at[dyn_rows, xip1_cols].set(jnp.broadcast_to(sx, (N - 1, nx)))
-        # -A_i diag(sx) on x_i
-        A = A.at[dyn_rows[:, :, None], xi_cols[:, None, :]].add(
-            -(As * sx[None, None, :]))
-        # -B_i diag(su) on u_i
-        A = A.at[dyn_rows[:, :, None], u_rows[:, None, :]].add(
-            -(Bs * su[None, None, :]))
-        lo = lo.at[dyn_rows.ravel()].set(gs.ravel())
-        up = up.at[dyn_rows.ravel()].set(gs.ravel())
-
-        # ---- control-rate coupling (racing_mpc.cpp:189-197) ------------
-        rate_rows = (L.r_rate + ar((N - 1) * nu)).reshape(N - 1, nu)
-        A = A.at[rate_rows, u_rows].set(jnp.broadcast_to(su, (N - 1, nu)))
-        # -u_{i-1}: stages 1..N-2
-        A = A.at[rate_rows[1:], u_rows[:-1]].add(
-            jnp.broadcast_to(-su, (N - 2, nu)))
-        # -du_i * t_i
-        A = A.at[rate_rows, du_rows].add(-(inp.T_ref[:, None] * su[None, :]))
-        rhs_rate = jnp.zeros((N - 1, nu), dtype=dtype).at[0].set(inp.u_ic)
-        lo = lo.at[rate_rows.ravel()].set(rhs_rate.ravel())
-        up = up.at[rate_rows.ravel()].set(rhs_rate.ravel())
-
-        # ---- initial state equality (racing_mpc.cpp:199-201) -----------
-        ic_rows = L.r_ic + ar(nx)
-        A = A.at[ic_rows, L.x0_off + ar(nx)].set(sx)
-        lo = lo.at[ic_rows].set(inp.x_ic)
-        up = up.at[ic_rows].set(inp.x_ic)
-
-        # ---- LMPC terminal safe-set constraint (build_lmpc_cost) -------
+        # ---- LMPC lambda simplex + (hard) hull (build_lmpc_cost) --------
         if cfg.learning:
             lam_cols = L.lam_off + ar(K)
             lp_rows = L.r_lam_pos + ar(K)
@@ -404,55 +432,48 @@ class RacingMPC:
             A = A.at[L.r_lam_sum, lam_cols].set(1.0)
             lo = lo.at[L.r_lam_sum].set(1.0)
             up = up.at[L.r_lam_sum].set(1.0)
-            hull_rows_c = L.r_hull + ar(nx)
-            xN_cols = L.ix(N - 1) + ar(nx)
-            A = A.at[hull_rows_c, xN_cols].set(sx)
-            A = A.at[hull_rows_c[:, None], lam_cols[None, :]].set(-inp.ss_x.T)
-            if self.has_hull_slack:
-                A = A.at[hull_rows_c, L.hull_off + ar(nx)].set(-1.0)
-            lo = lo.at[hull_rows_c].set(0.0)
-            up = up.at[hull_rows_c].set(0.0)
+            if not self.has_hull_slack:
+                hull_rows = L.r_hull + ar(nx)
+                A = A.at[L.r_hull:L.r_hull + nx, :nuu].set(F[N - 1])
+                A = A.at[hull_rows[:, None], lam_cols[None, :]].set(-inp.ss_x.T)
+                lo = lo.at[hull_rows].set(-f[N - 1])
+                up = up.at[hull_rows].set(-f[N - 1])
 
-        return QPData(P=P, q=q, A=A, l=lo, u=up)
+        return QPData(P=P, q=q, A=A, l=lo, u=up), (F, f, MU, mu0, Gm, gm)
 
     # ------------------------------------------------------------------
     def _solve_impl(self, inp: MPCInput, z_warm: Array, warm_valid: Array
                     ) -> tuple[MPCOutput, Array]:
-        data = self._build_qp(inp)
+        data, aux = self._build_qp(inp)
         cfg = self.config
         if cfg.qp_method == "ipm":
             # interior point restarts from the central path; the warm start
             # is not used (its value is in the shifted X_ref linearization).
-            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows,
-                              kkt_perm=self.kkt_perm,
-                              pair_safe=self.kkt_pair_safe)
+            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows)
         else:
             x0 = jnp.where(warm_valid, z_warm, jnp.zeros_like(z_warm))
             sol = solve_qp(
                 data, iters=cfg.qp_iters, rho=cfg.qp_rho, sigma=cfg.qp_sigma,
                 alpha=cfg.qp_alpha, do_polish=cfg.qp_polish, x0=x0)
-        out = self._extract(sol, data)
+        out = self._extract(sol, data, aux)
         return out, sol.x
 
-    def _extract(self, sol: QPSolution, data: QPData) -> MPCOutput:
+    def _extract(self, sol: QPSolution, data: QPData, aux) -> MPCOutput:
         L = self.layout
         nx, nu, N, K = self.nx, self.nu, self.N, self.K
         dtype = sol.x.dtype
-        sx = jnp.asarray(self.scale_x, dtype=dtype)
         su = jnp.asarray(self.scale_u, dtype=dtype)
-        X = sol.x[L.x0_off:L.x0_off + N * nx].reshape(N, nx) * sx
-        U = sol.x[L.u0_off:L.u0_off + (N - 1) * nu].reshape(N - 1, nu) * su
-        dU = sol.x[L.du0_off:L.du0_off + (N - 1) * nu].reshape(N - 1, nu) * su
+        F, f, MU, mu0, Gm, gm = aux
+        v = sol.x[:L.nuu]
+        X = f + jnp.einsum('nij,j->ni', F, v)
+        U = (MU @ v + mu0).reshape(N - 1, nu) * su
+        dU = (Gm @ v + gm).reshape(N - 1, nu) * su
         lam = (sol.x[L.lam_off:L.lam_off + K] if self.config.learning
                else jnp.zeros((0,), dtype=dtype))
         sb = sol.x[L.sb_off] if self.has_bslack else jnp.asarray(0.0, dtype=dtype)
-        # OSQP-style relative termination test at the configured tolerance
+        # OSQP-style scaled relative termination test (see scaled_residuals)
         tol = self.config.tol
-        Ax = data.A @ sol.x
-        p_scale = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(sol.z))) + 1.0
-        d_scale = jnp.maximum(
-            jnp.max(jnp.abs(data.P @ sol.x)), jnp.max(jnp.abs(data.q))) + 1.0
-        solved = (sol.r_prim < tol * p_scale) & (sol.r_dual < tol * d_scale)
+        solved = (sol.rp_rel < tol) & (sol.rd_rel < tol)
         return MPCOutput(
             X_optm=X, U_optm=U, dU_optm=dU, convex_combi=lam,
             boundary_slack=sb, r_prim=sol.r_prim, r_dual=sol.r_dual,
@@ -509,17 +530,15 @@ class RacingMPC:
     # ------------------------------------------------------------------
     def warm_start_vector(self, X: Array, U: Array, dU: Array,
                           lam: Array | None = None) -> Array:
-        """Pack (unscaled) trajectories into the raw decision vector layout
+        """Pack (unscaled) trajectories into the condensed decision vector
         for warm starting (the reference's X/U/dU_optm_ref path,
-        racing_mpc.cpp:293-311)."""
+        racing_mpc.cpp:293-311).  X and dU are implied by U in the condensed
+        form and are accepted for API compatibility."""
         L = self.layout
-        dtype = X.dtype
-        sx = jnp.asarray(self.scale_x, dtype=dtype)
+        dtype = U.dtype
         su = jnp.asarray(self.scale_u, dtype=dtype)
         z = jnp.zeros((L.n,), dtype=dtype)
-        z = z.at[L.x0_off:L.x0_off + self.N * self.nx].set((X / sx).ravel())
-        z = z.at[L.u0_off:L.u0_off + (self.N - 1) * self.nu].set((U / su).ravel())
-        z = z.at[L.du0_off:L.du0_off + (self.N - 1) * self.nu].set((dU / su).ravel())
+        z = z.at[:L.nuu].set((U / su).ravel())
         if lam is not None and self.config.learning and lam.shape[0] == self.K:
             z = z.at[L.lam_off:L.lam_off + self.K].set(lam)
         elif self.config.learning:
@@ -549,11 +568,11 @@ class RacingMPC:
         for i in range(N - 1):
             d = float(np.hypot(*(np.asarray(P0)[i] - np.asarray(P0)[i + 1])))
             a = (vels[i + 1] ** 2 - vels[i] ** 2) / (2 * d)
-            f = m_total * a
+            fo = m_total * a
             steer = float(np.arctan(wheel_base / np.asarray(Radii)[i]))
             if nu == 2:
-                U_ref[i] = [f / 1000.0, steer]
+                U_ref[i] = [fo / 1000.0, steer]
             else:
-                U_ref[i] = [max(f, 0.0), min(f, 0.0), steer]
+                U_ref[i] = [max(fo, 0.0), min(fo, 0.0), steer]
             T_ref[i] = d / vels[i]
         return (jnp.asarray(X_ref), jnp.asarray(U_ref), jnp.asarray(T_ref))

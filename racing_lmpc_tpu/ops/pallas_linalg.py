@@ -1,0 +1,135 @@
+"""Pallas TPU kernels for the small dense linear algebra inside the QP solver.
+
+The hot op of the interior-point LMPC solver is the inversion of the 64x64
+diagonal blocks of the blocked LDL^T KKT factorization (mpc/ldlt.py).  XLA
+lowers ``jnp.linalg.inv`` to a pivoted-LU custom call whose row-pivoting
+while-loop costs ~4.4 ms per (256, 64, 64) dispatch on v5e — 7 panels x 18
+IPM iterations made it >50% of the whole solve (profiled; see ldlt.py).
+
+This kernel replaces it with a swap-free partially-pivoted Gauss-Jordan
+elimination that runs entirely in VMEM:
+
+- each grid program loads ``R`` blocks (R, b, 2b augmented) into VMEM and
+  performs the full b-step elimination on-chip — no HBM round trips between
+  steps and no kernel-dispatch overhead per step;
+- partial pivoting WITHOUT row swaps: at step k the pivot row p is the
+  not-yet-used row maximizing |M[p, k]|; after all steps the left half of
+  the augmented matrix is the row-permutation matrix P (one-hot rows), so
+  A^{-1} = P^T . right_half — one final (b, b) matmul on the MXU instead of
+  bookkeeping swaps;
+- everything is batched over the R blocks in-program, so each of the b
+  sequential steps is a well-shaped (R, b, 2b) VPU operation.
+
+Numerically this is textbook partial-pivoted Gauss-Jordan — the same growth
+bound as LAPACK's getri path — unlike the unpivoted variants in mpc/ldlt.py
+that lose f32 accuracy when barrier weights span ~1e8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gj_body(MI: Array, n_steps: int) -> Array:
+    """Swap-free pivoted Gauss-Jordan on an augmented batch (R, b, 2b).
+
+    Pure-JAX body shared by the Pallas kernel and the interpret/CPU
+    fallback.  Returns the eliminated augmented matrix whose left half is a
+    permutation matrix.
+    """
+    R, b, b2 = MI.shape
+    dtype = MI.dtype
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, b), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, b, b2), 2)
+
+    def step(k, carry):
+        MI, used = carry
+        # column k extracted by masked reduction (dynamic_slice of a value is
+        # not lowerable in Pallas TPU); masks stay float throughout — Mosaic
+        # cannot insert minor dims on i1 vectors.
+        col = jnp.sum(jnp.where(col_ids == k, MI, 0.0), axis=2)        # (R, b)
+        score = jnp.abs(col) - used * jnp.asarray(1e30, dtype)
+        p = jnp.argmax(score, axis=-1)                                  # (R,)
+        oh = (row_ids == p[:, None]).astype(dtype)                      # (R, b)
+        # pivot row and pivot value (contract against the one-hot)
+        prow = jnp.sum(oh[..., None] * MI, axis=1)                      # (R, 2b)
+        d = jnp.sum(oh * col, axis=-1)                                  # (R,)
+        prow = prow / d[:, None]
+        # elimination factors against the SCALED pivot row (prow[k] == 1)
+        f = (1.0 - oh) * col
+        MI = MI - f[..., None] * prow[:, None, :]
+        # set row p to the scaled pivot row
+        MI = MI * (1.0 - oh[..., None]) + oh[..., None] * prow[:, None, :]
+        return MI, used + oh
+
+    MI, _ = jax.lax.fori_loop(
+        0, n_steps, step, (MI, jnp.zeros((R, b), dtype=dtype)))
+    return MI
+
+
+def _gj_inverse_batch(A: Array) -> Array:
+    """Inverse of a batch (R, b, b) by augmented pivoted GJ (pure JAX)."""
+    R, b, _ = A.shape
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=A.dtype), (R, b, b))
+    MI = jnp.concatenate([A, eye], axis=-1)
+    MI = _gj_body(MI, b)
+    left, right = MI[..., :b], MI[..., b:]
+    # left is the row-permutation matrix P (P[p, k] = 1): A^{-1} = P^T right.
+    # HIGHEST precision: the default 1-pass bf16 MXU product would truncate
+    # the f32 inverse entries to ~4e-3 relative error.
+    return jax.lax.dot_general(
+        left, right, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=A.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _gj_kernel(a_ref, out_ref):
+    out_ref[...] = _gj_inverse_batch(a_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_program", "interpret"))
+def gj_inverse(A: Array, rows_per_program: int = 16,
+               interpret: bool = False) -> Array:
+    """Batched pivoted Gauss-Jordan inverse: (..., b, b) -> (..., b, b).
+
+    On TPU this runs as a Pallas kernel with ``rows_per_program`` blocks per
+    grid program, the whole elimination resident in VMEM.  On other
+    backends (tests run on a CPU mesh) it falls back to the identical
+    pure-JAX elimination.
+    """
+    b = A.shape[-1]
+    batch_shape = A.shape[:-2]
+    G = int(np.prod(batch_shape)) if batch_shape else 1
+    A2 = A.reshape(G, b, b)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        return _gj_inverse_batch(A2).reshape(A.shape)
+
+    R = max(1, min(rows_per_program, G))
+    pad = (-G) % R
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=A.dtype), (pad, b, b))
+        A2 = jnp.concatenate([A2, eye], axis=0)
+    Gp = A2.shape[0]
+
+    out = pl.pallas_call(
+        _gj_kernel,
+        grid=(Gp // R,),
+        in_specs=[pl.BlockSpec((R, b, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, b, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, b, b), A.dtype),
+        interpret=interpret,
+    )(A2)
+    if pad:
+        out = out[:G]
+    return out.reshape(A.shape)

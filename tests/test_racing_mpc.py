@@ -155,7 +155,8 @@ def test_warm_start_pack(setup):
     dU = jnp.zeros((mpc.N - 1, 2))
     z = mpc.warm_start_vector(X, U, dU)
     assert z.shape == (mpc.layout.n,)
-    # unpacking reproduces the packed trajectories
-    sx = jnp.asarray(mpc.scale_x, dtype=z.dtype)
-    X_back = z[:mpc.N * 6].reshape(mpc.N, 6) * sx
-    assert np.abs(np.asarray(X_back) - 1.0).max() < 1e-6
+    # unpacking reproduces the packed controls (condensed decision vector
+    # carries only the scaled controls; X/dU are affine in them)
+    su = jnp.asarray(mpc.scale_u, dtype=z.dtype)
+    U_back = z[:mpc.layout.nuu].reshape(mpc.N - 1, 2) * su
+    assert np.abs(np.asarray(U_back) - 0.005).max() < 1e-8
