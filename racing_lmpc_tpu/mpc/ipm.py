@@ -115,34 +115,33 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         me = Ae.shape[0]
         I_me = jnp.eye(me, dtype=dtype)
 
-        def tri(Lmat, v, transpose=False):
-            return jax.lax.linalg.triangular_solve(
-                Lmat, v[:, None], left_side=True, lower=True,
-                transpose_a=transpose)[:, 0]
+        from racing_lmpc_tpu.ops.pallas_linalg import tri_inv_lower
 
         def make_solver(D):
             Dc = jnp.minimum(D, D_CAP)
             H = P + delta_p * I_n + (A.T * Dc) @ A
             L = jnp.linalg.cholesky(H)
+            # explicit blocked inverse of L: every subsequent KKT solve is a
+            # matmul on the MXU; XLA's triangular_solve custom call blows the
+            # scoped-VMEM limit at (batch 256, n 87+) and cannot be used here.
+            Li = tri_inv_lower(L)
 
             if me == 0:
                 def solve(r1, r2):
-                    x = tri(L, tri(L, r1), transpose=True)
+                    x = Li.T @ (Li @ r1)
                     rx = r1 - H @ x
-                    x = x + tri(L, tri(L, rx), transpose=True)
+                    x = x + Li.T @ (Li @ rx)
                     return x, jnp.zeros(m, dtype=dtype)
                 return solve
 
-            T = jax.lax.linalg.triangular_solve(
-                L, Ae.T, left_side=True, lower=True)        # L^-1 Ae'
+            T = Li @ Ae.T                                    # L^-1 Ae'
             S = T.T @ T + delta * I_me
-            Ls = jnp.linalg.cholesky(S)
+            Lsi = tri_inv_lower(jnp.linalg.cholesky(S))
 
             def kkt_solve(r1, r2c):
-                z = tri(L, r1)
-                y = tri(Ls, T.T @ z - r2c)
-                y = tri(Ls, y, transpose=True)
-                x = tri(L, z - T @ y, transpose=True)
+                z = Li @ r1
+                y = Lsi.T @ (Lsi @ (T.T @ z - r2c))
+                x = Li.T @ (z - T @ y)
                 return x, y
 
             def solve(r1, r2):

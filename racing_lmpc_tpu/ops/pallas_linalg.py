@@ -28,6 +28,7 @@ that lose f32 accuracy when barrier weights span ~1e8.
 from __future__ import annotations
 
 import functools
+from functools import partial
 
 import numpy as np
 import jax
@@ -133,3 +134,64 @@ def gj_inverse(A: Array, rows_per_program: int = 16,
     if pad:
         out = out[:G]
     return out.reshape(A.shape)
+
+
+def tri_inv_lower(L: Array, block: int = 32) -> Array:
+    """Explicit inverse of a lower-triangular matrix by blocked substitution.
+
+    XLA's ``triangular_solve`` lowers to an ``InvertDiagBlocksLowerTriangular``
+    custom call whose scoped-VMEM scratch scales with batch x n^2 — at the
+    LMPC shapes (vmap batch 256, n = 87 condensed variables) it exceeds the
+    16 MB scoped VMEM limit and the compile FAILS.  Inverting L explicitly
+    with small-block base cases + matmuls keeps everything on the MXU, and
+    turns every subsequent solve into a single matmul (the right trade on
+    TPU, where one (256, n, n) matmul is far cheaper than a substitution
+    custom call).
+
+    Works on (..., n, n); zero-fills the strictly-upper part of the result.
+    """
+    n = L.shape[-1]
+    batch_shape = L.shape[:-2]
+    pad = (-n) % block
+    npad = n + pad
+    if pad:
+        eye_pad = jnp.zeros(L.shape[:-2] + (pad, npad), dtype=L.dtype)
+        eye_pad = eye_pad.at[..., :, n:].set(jnp.eye(pad, dtype=L.dtype))
+        Lp = jnp.concatenate([
+            jnp.concatenate(
+                [L, jnp.zeros(L.shape[:-2] + (n, pad), dtype=L.dtype)],
+                axis=-1),
+            eye_pad], axis=-2)
+    else:
+        Lp = L
+    nb = npad // block
+
+    # base: invert the diagonal blocks with the pivot-free pairwise GJ —
+    # diagonal blocks of a Cholesky factor are themselves lower-triangular
+    # with positive diagonal, so unpivoted elimination is stable.
+    def blk(i, j):
+        return Lp[..., i * block:(i + 1) * block, j * block:(j + 1) * block]
+
+    Dinv = [None] * nb
+    for i in range(nb):
+        Di = blk(i, i)
+        Dinv[i] = jax.lax.linalg.triangular_solve(
+            Di, jnp.broadcast_to(jnp.eye(block, dtype=L.dtype), Di.shape),
+            left_side=True, lower=True)
+
+    # block-column forward substitution: X_ij = -Dinv_i sum_k L_ik X_kj
+    X = [[None] * nb for _ in range(nb)]
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    for j in range(nb):
+        X[j][j] = Dinv[j]
+        for i in range(j + 1, nb):
+            acc = mm(blk(i, j), X[j][j])
+            for k in range(j + 1, i):
+                acc = acc + mm(blk(i, k), X[k][j])
+            X[i][j] = -mm(Dinv[i], acc)
+    zero = jnp.zeros(batch_shape + (block, block), dtype=L.dtype)
+    rows = [jnp.concatenate(
+        [X[i][j] if j <= i else zero for j in range(nb)], axis=-1)
+        for i in range(nb)]
+    out = jnp.concatenate(rows, axis=-2)
+    return out[..., :n, :n]
