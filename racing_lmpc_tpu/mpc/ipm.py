@@ -120,11 +120,17 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         def make_solver(D):
             Dc = jnp.minimum(D, D_CAP)
             H = P + delta_p * I_n + (A.T * Dc) @ A
-            L = jnp.linalg.cholesky(H)
+            # Jacobi pre-scaling: the barrier weights put a ~1e12 spread on
+            # diag(H), far beyond f32 Cholesky breakdown (~1e7); normalizing
+            # to unit diagonal moves the spread out of the factorization.
+            # H = S^-1 Hs S^-1 with S = rsqrt(diag H), Hs unit-diagonal.
+            s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
+            Hs = H * s[:, None] * s[None, :]
+            L = jnp.linalg.cholesky(Hs)
             # explicit blocked inverse of L: every subsequent KKT solve is a
             # matmul on the MXU; XLA's triangular_solve custom call blows the
             # scoped-VMEM limit at (batch 256, n 87+) and cannot be used here.
-            Li = tri_inv_lower(L)
+            Li = tri_inv_lower(L) * s[None, :]               # L^-1 S
 
             if me == 0:
                 def solve(r1, r2):
@@ -134,9 +140,9 @@ def _ipm_core(data: QPData, iters: int, delta: float,
                     return x, jnp.zeros(m, dtype=dtype)
                 return solve
 
-            T = Li @ Ae.T                                    # L^-1 Ae'
-            S = T.T @ T + delta * I_me
-            Lsi = tri_inv_lower(jnp.linalg.cholesky(S))
+            T = Li @ Ae.T                                    # (S L)^-1 Ae'
+            S_sc = T.T @ T + delta * I_me
+            Lsi = tri_inv_lower(jnp.linalg.cholesky(S_sc))
 
             def kkt_solve(r1, r2c):
                 z = Li @ r1
@@ -266,6 +272,45 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     (x, s_l, s_u, z_l, z_u, y_eq), _ = jax.lax.scan(
         step, (x, s_l, s_u, z_l, z_u, y_eq), None, length=iters)
     y = jnp.where(is_eq, y_eq, z_u - z_l)
+
+    # ---- penalty polish (OSQP's "polish", racing_mpc.cpp:87) -------------
+    # The f32 IPM parks right at ~1e-3 relative dual residual (the mu floor
+    # freezes it before the duals fully settle).  Detect the active set from
+    # the dual signs, then re-solve the equality-constrained QP with the
+    # active rows enforced by a stiff penalty through the SAME pivot-free
+    # Cholesky+Schur solver (a full-KKT LU would reintroduce the pivoted
+    # custom call this module exists to avoid).  Keep whichever iterate has
+    # the smaller combined KKT residual.
+    act_l = has_l & (z_l > z_u) & (z_l > 1e-6)
+    act_u = has_u & (z_u > z_l) & (z_u > 1e-6)
+    active = act_l | act_u
+    b_act = jnp.where(act_l, l_safe, jnp.where(act_u, u_safe, 0.0))
+    rho = jnp.asarray(1e5, dtype)
+    D_pol = jnp.where(active, rho, 0.0)
+    solve_pol = make_solver(D_pol)
+    r1 = -q + A.T @ (D_pol * b_act)
+    x_pol, y_pol_eq = solve_pol(r1, b_eq)
+    y_pol = jnp.where(is_eq, y_pol_eq,
+                      jnp.where(active, D_pol * (A @ x_pol - b_act), 0.0))
+
+    def kkt_metric(xc, yc):
+        # primal + dual + complementarity/dual-sign violation (same metric
+        # as qp.polish: stationarity alone can hold for a wrong active set)
+        Axc = A @ xc
+        zc = jnp.clip(Axc, l, u)
+        rp = jnp.max(jnp.abs(Axc - zc))
+        rp_eq = jnp.max(jnp.abs(jnp.where(is_eq, Axc - b_eq, 0.0)))
+        rd = jnp.max(jnp.abs(P @ xc + q + A.T @ yc))
+        yin = jnp.where(is_eq, 0.0, yc)
+        comp = jnp.max(
+            jnp.maximum(yin, 0.0) * jnp.where(finite_u, jnp.abs(u_safe - zc), 1.0)
+            + jnp.maximum(-yin, 0.0) * jnp.where(finite_l, jnp.abs(zc - l_safe), 1.0))
+        return rp + rp_eq + rd + comp
+
+    pol_ok = (kkt_metric(x_pol, y_pol) < kkt_metric(x, y)) \
+        & jnp.all(jnp.isfinite(x_pol)) & jnp.all(jnp.isfinite(y_pol))
+    x = jnp.where(pol_ok, x_pol, x)
+    y = jnp.where(pol_ok, y_pol, y)
     return x, y
 
 

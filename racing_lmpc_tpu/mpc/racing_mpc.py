@@ -444,6 +444,15 @@ class RacingMPC:
     # ------------------------------------------------------------------
     def _solve_impl(self, inp: MPCInput, z_warm: Array, warm_valid: Array
                     ) -> tuple[MPCOutput, Array]:
+        # Full-f32 matmul accumulation throughout: TPU's default bf16-class
+        # matmul truncation corrupts the condensed chain products/Hessian
+        # enough to leave ~30% of scenario QPs unconverged (verified: the
+        # same instances solve to 5e-4 in f32 on CPU).
+        with jax.default_matmul_precision("highest"):
+            return self._solve_impl_inner(inp, z_warm, warm_valid)
+
+    def _solve_impl_inner(self, inp: MPCInput, z_warm: Array, warm_valid: Array
+                          ) -> tuple[MPCOutput, Array]:
         data, aux = self._build_qp(inp)
         cfg = self.config
         if cfg.qp_method == "ipm":
