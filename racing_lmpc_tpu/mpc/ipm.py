@@ -46,12 +46,16 @@ _EPS = 1e-10
 # to 5e-3 on the next step at mu=6e-8).  Below the floor the step is
 # zeroed, which acts as early termination with the iterate frozen.
 _MU_FLOOR = 1e-7
+# Relative Hessian ridge applied to every incoming QP (see solve_qp_ip):
+# lifts f32-rounding negative curvature of the condensed Gram-sum Hessians.
+_RIDGE_REL = 1e-5
 
 
 def _ipm_core(data: QPData, iters: int, delta: float,
               eq_rows: Array | None = None,
               kkt_perm: Array | None = None,
-              pair_safe: bool = False) -> tuple[Array, Array]:
+              pair_safe: bool = False,
+              trace: bool = False):
     """IPM on (scaled) data.  Returns (x, y) with y the OSQP-convention dual
     (y = z_u - z_l, positive on active upper bounds).
 
@@ -89,6 +93,10 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     # trivial rows (nu_i = 0) for non-equality rows keep the KKT full-rank
     kkt_22 = -jnp.diag(jnp.where(is_eq, delta, 1.0).astype(dtype))
 
+    # Levenberg-style adaptive primal regularization bounds (see below)
+    REG_MIN = jnp.asarray(1e-6, dtype)
+    REG_MAX = jnp.asarray(1e-1, dtype)
+
     if eq_rows is not None:
         # Condensed SPD path: with the equality rows known statically the
         # Newton KKT  [[H, Ae'], [Ae, -delta I]]  is solved by Cholesky of
@@ -109,15 +117,18 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         # primal proximal regularization: with the condensed QP every
         # variable carries curvature (R/R_d/q_boundary/hull/barrier), so a
         # light lift keeps chol(H) f32-safe without biasing the direction.
-        delta_p = 1e-6
-
+        # This is the FLOOR of a Levenberg-style adaptive value carried
+        # through the iteration: a Cholesky breakdown (batched TPU rounding
+        # can leave H marginally indefinite where the unbatched kernel
+        # succeeds) escalates it so the next factorization goes through,
+        # instead of freezing the solver on a permanently-NaN H.
         Ae = A[eq_rows]                      # (m_eq, n), static shape
         me = Ae.shape[0]
         I_me = jnp.eye(me, dtype=dtype)
 
         from racing_lmpc_tpu.ops.pallas_linalg import tri_inv_lower
 
-        def make_solver(D):
+        def make_solver(D, delta_p=REG_MIN):
             Dc = jnp.minimum(D, D_CAP)
             H = P + delta_p * I_n + (A.T * Dc) @ A
             # Jacobi pre-scaling: the barrier weights put a ~1e12 spread on
@@ -162,8 +173,8 @@ def _ipm_core(data: QPData, iters: int, delta: float,
                 return x, dy
             return solve
     else:
-        def make_solver(D):
-            H = P + delta * I_n + (A.T * D) @ A
+        def make_solver(D, delta_p=REG_MIN):
+            H = P + (delta + delta_p) * I_n + (A.T * D) @ A
             K = jnp.block([[H, A_eq.T], [A_eq, kkt_22]])
             lu, piv = jax.scipy.linalg.lu_factor(K)
 
@@ -189,8 +200,25 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     z_u = jnp.where(has_u, 1.0, 0.0).astype(dtype)
     y_eq = jnp.zeros(m, dtype=dtype)
 
+    def merit_parts(f, r_x, r_eq, s_l, s_u, z_l, z_u):
+        # safeguard merit = dual + equality + PRIMAL inequality violation +
+        # duality gap; must track the termination test (which checks primal
+        # feasibility of x directly), else a dual-good early iterate with
+        # infeasible x can shadow the converged one.
+        rp = jnp.max(jnp.abs(f - jnp.clip(f, l, u)))
+        mu = (jnp.sum(s_l * z_l * has_l) + jnp.sum(s_u * z_u * has_u)) / n_barrier
+        return (jnp.max(jnp.abs(r_x)) + jnp.max(jnp.abs(r_eq)) + rp + mu), mu
+
+    def merit_of(x, s_l, s_u, z_l, z_u, y_eq):
+        f = A @ x
+        r_x = P @ x + q + A_eq.T @ jnp.where(is_eq, y_eq, 0.0) \
+            + A.T @ (z_u - z_l)
+        r_eq = jnp.where(is_eq, f - b_eq, 0.0)
+        merit, _ = merit_parts(f, r_x, r_eq, s_l, s_u, z_l, z_u)
+        return merit
+
     def step(carry, _):
-        x, s_l, s_u, z_l, z_u, y_eq = carry
+        x, s_l, s_u, z_l, z_u, y_eq, reg, best, best_merit = carry
         f = A @ x
         # residuals
         r_x = P @ x + q + A_eq.T @ jnp.where(is_eq, y_eq, 0.0) \
@@ -200,12 +228,22 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         r_sl = jnp.where(has_l, f - l_safe - s_l, 0.0)
         r_su = jnp.where(has_u, u_safe - f - s_u, 0.0)
 
-        mu = (jnp.sum(s_l * z_l * has_l) + jnp.sum(s_u * z_u * has_u)) / n_barrier
+        # best-iterate safeguard: near the f32 central-path floor a Newton
+        # step can CORRUPT an already-converged iterate (observed on TPU:
+        # |r_x| 1e-6 -> 1e-3 in one near-zero-alpha step before the NaN
+        # guard engages).  Track the lowest-merit iterate seen and return
+        # that instead of whatever the last step left behind.
+        merit, mu = merit_parts(f, r_x, r_eq, s_l, s_u, z_l, z_u)
+        better = merit < best_merit
+        best = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old),
+            (x, s_l, s_u, z_l, z_u, y_eq), best)
+        best_merit = jnp.minimum(merit, best_merit)
 
         d_l = jnp.where(has_l, z_l / jnp.maximum(s_l, _EPS), 0.0)
         d_u = jnp.where(has_u, z_u / jnp.maximum(s_u, _EPS), 0.0)
         D = d_l + d_u
-        solve = make_solver(D)
+        solve = make_solver(D, reg)
 
         def newton(sig_mu, comp_extra_l, comp_extra_u):
             # complementarity targets: s.z = sig_mu (+ Mehrotra correction)
@@ -259,6 +297,11 @@ def _ipm_core(data: QPData, iters: int, delta: float,
                    & jnp.all(jnp.isfinite(dsl)) & jnp.all(jnp.isfinite(dsu))
                    & jnp.all(jnp.isfinite(dzl)) & jnp.all(jnp.isfinite(dzu)))
         alpha = jnp.where(step_ok, alpha, 0.0)
+        # breakdown -> escalate regularization so the NEXT factorization of
+        # the (frozen) iterate's KKT succeeds; success -> decay toward floor
+        reg = jnp.where(step_ok,
+                        jnp.maximum(reg * 0.5, REG_MIN),
+                        jnp.minimum(reg * 64.0, REG_MAX))
         nn = jnp.nan_to_num
 
         x = x + alpha * nn(dx_c)
@@ -267,10 +310,19 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         s_u = jnp.where(has_u, jnp.maximum(s_u + alpha * nn(dsu), _EPS), s_u)
         z_l = jnp.where(has_l, jnp.maximum(z_l + alpha * nn(dzl), 0.0), z_l)
         z_u = jnp.where(has_u, jnp.maximum(z_u + alpha * nn(dzu), 0.0), z_u)
-        return (x, s_l, s_u, z_l, z_u, y_eq), None
+        diag = (mu, alpha, jnp.max(jnp.abs(r_x)), jnp.max(jnp.abs(r_eq)),
+                step_ok) if trace else None
+        return (x, s_l, s_u, z_l, z_u, y_eq, reg, best, best_merit), diag
 
-    (x, s_l, s_u, z_l, z_u, y_eq), _ = jax.lax.scan(
-        step, (x, s_l, s_u, z_l, z_u, y_eq), None, length=iters)
+    init = (x, s_l, s_u, z_l, z_u, y_eq)
+    carry0 = init + (REG_MIN, init, jnp.asarray(jnp.inf, dtype))
+    (x, s_l, s_u, z_l, z_u, y_eq, _, best, best_merit), diags = jax.lax.scan(
+        step, carry0, None, length=iters)
+    # the post-scan iterate was never merit-checked; give it its shot too
+    final_better = merit_of(x, s_l, s_u, z_l, z_u, y_eq) < best_merit
+    x, s_l, s_u, z_l, z_u, y_eq = jax.tree.map(
+        lambda new, old: jnp.where(final_better, new, old),
+        (x, s_l, s_u, z_l, z_u, y_eq), best)
     y = jnp.where(is_eq, y_eq, z_u - z_l)
 
     # ---- penalty polish (OSQP's "polish", racing_mpc.cpp:87) -------------
@@ -311,6 +363,8 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         & jnp.all(jnp.isfinite(x_pol)) & jnp.all(jnp.isfinite(y_pol))
     x = jnp.where(pol_ok, x_pol, x)
     y = jnp.where(pol_ok, y_pol, y)
+    if trace:
+        return x, y, diags
     return x, y
 
 
@@ -334,6 +388,16 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
                        scale: bool, eq_rows: Array | None = None,
                        kkt_perm: Array | None = None,
                        pair_safe: bool = False) -> QPSolution:
+    # The condensed Hessians arrive as f32 Gram-product sums that are only
+    # symmetric PSD in exact arithmetic; rounding leaves ~1e-4-relative
+    # asymmetry and NEGATIVE curvature (observed lambda_min ~ -2e-4 on BARC
+    # LMPC scenarios), which breaks down the pivot-free Cholesky and freezes
+    # the NaN-guarded iterate at ~1e-1 residuals.  Symmetrize here; ridge
+    # AFTER equilibration below, where the diagonal is O(1) so a uniform
+    # 1e-5 lift is small for EVERY variable (a pre-scaling trace-relative
+    # ridge is ~0.1-sized on the low-curvature lambda block and visibly
+    # degrades LMPC solutions).
+    data = data._replace(P=0.5 * (data.P + data.P.T))
     if scale:
         sdata, (D, E, c) = ruiz_equilibrate(data)
     else:
@@ -341,6 +405,9 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         D = jnp.ones(data.P.shape[0], dtype=data.P.dtype)
         E = jnp.ones(data.A.shape[0], dtype=data.P.dtype)
         c = jnp.asarray(1.0, dtype=data.P.dtype)
+    n = sdata.P.shape[0]
+    ridge = _RIDGE_REL * (jnp.trace(sdata.P) / n)
+    sdata = sdata._replace(P=sdata.P + ridge * jnp.eye(n, dtype=sdata.P.dtype))
     xs, ys = _ipm_core(sdata, iters=iters, delta=delta, eq_rows=eq_rows,
                        kkt_perm=kkt_perm, pair_safe=pair_safe)
     rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)
