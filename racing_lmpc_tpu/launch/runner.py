@@ -197,9 +197,9 @@ class CoSimulation:
         msg.lap_num = float(self.lap_num)
         return msg
 
-    def step(self) -> MPCTelemetry:
-        """One lock-step cycle: state -> MPC -> actuation -> plant."""
-        msg = self.vehicle_state_msg()
+    def controller_cycle(self, msg: VehicleStateMsg) -> VehicleActuationMsg:
+        """Controller node half: VehicleStateMsg -> solve -> actuation
+        (racing_mpc_node on_step_timer, :150-477)."""
         x_frenet = jnp.asarray(
             [msg.p.s, msg.p.x_tran, msg.p.e_psi,
              msg.v.v_long, msg.v.v_tran, msg.w.w_psi], dtype=jnp.float32)
@@ -215,20 +215,6 @@ class CoSimulation:
         u_a = u_base[0] if abs(u_base[0]) > abs(u_base[1]) else u_base[1]
         act = VehicleActuationMsg(t=self._t, u_a=float(u_a),
                                   u_steer=float(u_base[2]))
-        # simulator sign-splits u_a back (racing_simulator_node.cpp:249-254)
-        fd = max(act.u_a, 0.0)
-        fb = min(act.u_a, 0.0)
-        self.simulator.step(jnp.asarray([fd, fb, act.u_steer], dtype=jnp.float32))
-
-        # lap counting by abscissa wrap (racing_simulator_node.cpp:266-284)
-        s_now = msg.p.s
-        if self._last_s is not None and self._last_s - s_now > 0.5 * self.track.total_length:
-            self.lap_num += 1
-            if self._lap_start_t > 0.0 or self.lap_num > 1:
-                self.lap_times.append(self._t - self._lap_start_t)
-            self._lap_start_t = self._t
-        self._last_s = s_now
-        self._t += self.spec.dt
 
         tel = MPCTelemetry(
             trajectory_index=self.spec.default_traj_idx,
@@ -238,7 +224,34 @@ class CoSimulation:
             control=[float(v) for v in np.asarray(info.u_apply)],
             solve_time=solve_time)
         self.telemetry.append(tel)
-        return tel
+        return act
+
+    def plant_cycle(self, act: VehicleActuationMsg) -> VehicleStateMsg:
+        """Simulator node half: actuation -> plant step -> next state msg
+        (racing_simulator_node on_state_update, :240-332)."""
+        # simulator sign-splits u_a back (racing_simulator_node.cpp:249-254)
+        fd = max(act.u_a, 0.0)
+        fb = min(act.u_a, 0.0)
+        self.simulator.step(jnp.asarray([fd, fb, act.u_steer], dtype=jnp.float32))
+
+        msg = self.vehicle_state_msg()
+        # lap counting by abscissa wrap (racing_simulator_node.cpp:266-284)
+        s_now = msg.p.s
+        if self._last_s is not None and self._last_s - s_now > 0.5 * self.track.total_length:
+            self.lap_num += 1
+            if self._lap_start_t > 0.0 or self.lap_num > 1:
+                self.lap_times.append(self._t - self._lap_start_t)
+            self._lap_start_t = self._t
+        self._last_s = s_now
+        self._t += self.spec.dt
+        return msg
+
+    def step(self) -> MPCTelemetry:
+        """One lock-step cycle: state -> MPC -> actuation -> plant."""
+        msg = self.vehicle_state_msg()
+        act = self.controller_cycle(msg)
+        self.plant_cycle(act)
+        return self.telemetry[-1]
 
     def run(self, steps: int, log_every: int = 0) -> dict:
         for i in range(steps):
@@ -286,6 +299,98 @@ def sim_putnam_short_tracking_mpc(**kw) -> CoSimulation:
 
 def sim_putnam_config_a_tracking_mpc(**kw) -> CoSimulation:
     return _make("putnam_config_a_tracking_mpc", **kw)
+
+
+class BusCoSimulation:
+    """Two-node co-simulation over the native pub/sub bus: the controller
+    and the simulator run as separate subscribers exchanging
+    ``vehicle_state`` / ``vehicle_actuation`` messages, the in-process
+    equivalent of the reference's two ROS2 processes over DDS in ``step``
+    mode — each message triggers the other side
+    (racing_mpc_node.cpp:96-129; racing_simulator_node.cpp:111-142).
+
+    Requires the native runtime (racing_lmpc_tpu.native.Bus).
+    """
+
+    STATE_FMT = "<8d"       # t, s, x_tran, e_psi, v_long, v_tran, w_psi, lap
+    ACT_FMT = "<3d"         # t, u_a, u_steer
+
+    def __init__(self, spec: ScenarioSpec, **kw):
+        import struct
+        import threading
+        from racing_lmpc_tpu import native
+        if not native.available():
+            raise RuntimeError(f"native bus unavailable: {native.build_error()}")
+        self._struct = struct
+        self.cs = CoSimulation(spec, **kw)
+        self.bus = native.Bus()
+        self._remaining = 0
+        self._done = threading.Event()
+        self._errors: list[BaseException] = []
+        self.bus.subscribe("vehicle_state", self._on_state)
+        self.bus.subscribe("vehicle_actuation", self._on_actuation)
+
+    # -- controller node ------------------------------------------------
+    def _on_state(self, topic: str, payload: bytes):
+        try:
+            if self._remaining <= 0:
+                self._done.set()
+                return
+            t, s, x_tran, e_psi, v_long, v_tran, w_psi, lap = \
+                self._struct.unpack(self.STATE_FMT, payload)
+            msg = VehicleStateMsg(t=t)
+            msg.p.s, msg.p.x_tran, msg.p.e_psi = s, x_tran, e_psi
+            msg.v.v_long, msg.v.v_tran = v_long, v_tran
+            msg.w.w_psi = w_psi
+            msg.lap_num = lap
+            act = self.cs.controller_cycle(msg)
+            self.bus.publish("vehicle_actuation", self._struct.pack(
+                self.ACT_FMT, act.t, act.u_a, act.u_steer))
+        except BaseException as e:  # surface errors to the driving thread
+            self._errors.append(e)
+            self._done.set()
+
+    # -- simulator node ---------------------------------------------------
+    def _on_actuation(self, topic: str, payload: bytes):
+        try:
+            t, u_a, u_steer = self._struct.unpack(self.ACT_FMT, payload)
+            msg = self.cs.plant_cycle(
+                VehicleActuationMsg(t=t, u_a=u_a, u_steer=u_steer))
+            self._remaining -= 1
+            self._publish_state(msg)
+        except BaseException as e:
+            self._errors.append(e)
+            self._done.set()
+
+    def _publish_state(self, msg: VehicleStateMsg):
+        self.bus.publish("vehicle_state", self._struct.pack(
+            self.STATE_FMT, msg.t, msg.p.s, msg.p.x_tran, msg.p.e_psi,
+            msg.v.v_long, msg.v.v_tran, msg.w.w_psi, msg.lap_num))
+
+    # ---------------------------------------------------------------------
+    def run(self, steps: int, timeout_s: float = 600.0) -> dict:
+        """Kick off the message loop and wait for ``steps`` full cycles."""
+        self._remaining = steps
+        self._done.clear()
+        self._publish_state(self.cs.vehicle_state_msg())
+        if not self._done.wait(timeout_s):
+            raise TimeoutError(f"bus co-simulation did not finish {steps} steps")
+        if self._errors:
+            raise self._errors[0]
+        cs = self.cs
+        prof = cs.profiler.profile()
+        return {
+            "laps": cs.lap_num,
+            "lap_times": cs.lap_times,
+            "steps": len(cs.telemetry),
+            "fallback_rate": float(np.mean(
+                [not t.solved for t in cs.telemetry])) if cs.telemetry else 0.0,
+            "solve_time": {"min": prof.min, "mean": prof.mean, "max": prof.max},
+            "bus_messages": self.bus.delivered,
+        }
+
+    def close(self):
+        self.bus.close()
 
 
 def main():

@@ -73,10 +73,24 @@ class RegResult(NamedTuple):
 
 
 class SafeSetManager:
-    """Ring buffer of stored laps in fixed-size padded device arrays."""
+    """Ring buffer of stored laps in fixed-size padded device arrays.
+
+    When the native runtime is available (racing_lmpc_tpu.native), queries
+    run through the C++ SafeSetStore (threaded per-lap k-NN, the reference's
+    TBB role); the numpy arrays remain the source of truth for the
+    regression and for device upload.
+    """
 
     def __init__(self, max_laps: int, nx: int = 6, nu: int = 2,
-                 pad_len: int = 1024):
+                 pad_len: int = 1024, use_native: bool = True):
+        self._native = None
+        if use_native:
+            try:
+                from racing_lmpc_tpu import native
+                if native.available():
+                    self._native = native.NativeSafeSet(max_laps, nx)
+            except Exception:
+                self._native = None
         self.max_laps = max_laps
         self.nx, self.nu = nx, nu
         self.pad = pad_len
@@ -143,6 +157,8 @@ class SafeSetManager:
         dt = np.concatenate([dt, dt[-1:]]) if dt.size else np.zeros(T)
         self.dt_raw[slot, :T] = dt
         self.valid_raw[slot, :T] = True
+        if self._native is not None:
+            self._native.add_lap(x, total_length)
 
     # ------------------------------------------------------------------
     def query(self, query: SSQuery) -> SSResult:
@@ -154,6 +170,11 @@ class SafeSetManager:
         if self.num_laps == 0:
             return SSResult(np.zeros((0, self.nx), dtype=np.float32),
                             np.zeros((0,), dtype=np.float32))
+        if self._native is not None:
+            x, J = self._native.query(
+                np.asarray(query.x[:2], dtype=np.float32),
+                int(query.max_num_total), int(query.max_num_per_lap))
+            return SSResult(x, J)
         p = np.asarray(query.x[:2], dtype=np.float32)
         xs, Js = [], []
         total = 0

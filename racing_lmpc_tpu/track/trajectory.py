@@ -100,7 +100,14 @@ class RacingTrajectory:
     @classmethod
     def from_file(cls, file_name: str | Path, dtype=jnp.float32) -> "RacingTrajectory":
         """Load the whitespace 17-column format used by the reference
-        test_data files (rows = waypoints)."""
+        test_data files (rows = waypoints).  Uses the native C++ table
+        loader when available (racing_trajectory.cpp:25-36 role)."""
+        try:
+            from racing_lmpc_tpu import native
+            if native.available():
+                return cls(native.load_table(file_name), dtype=dtype)
+        except Exception:
+            pass
         return cls(np.loadtxt(file_name), dtype=dtype)
 
     # ------------------------------------------------------------------
