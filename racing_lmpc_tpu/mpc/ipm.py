@@ -126,10 +126,14 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         me = Ae.shape[0]
         I_me = jnp.eye(me, dtype=dtype)
 
-        from racing_lmpc_tpu.ops.pallas_linalg import tri_inv_lower
+        from racing_lmpc_tpu.ops.pallas_linalg import chol_lower, tri_inv_lower
 
         def make_solver(D, delta_p=REG_MIN):
             Dc = jnp.minimum(D, D_CAP)
+            # NOTE: stays at the ambient HIGHEST matmul precision — dropping
+            # this one product to HIGH (3-pass) was measured at +5% speed
+            # but -2.5% solved fraction; the barrier weights make the
+            # normal-equations product the precision-critical op.
             H = P + delta_p * I_n + (A.T * Dc) @ A
             # Jacobi pre-scaling: the barrier weights put a ~1e12 spread on
             # diag(H), far beyond f32 Cholesky breakdown (~1e7); normalizing
@@ -137,7 +141,10 @@ def _ipm_core(data: QPData, iters: int, delta: float,
             # H = S^-1 Hs S^-1 with S = rsqrt(diag H), Hs unit-diagonal.
             s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
             Hs = H * s[:, None] * s[None, :]
-            L = jnp.linalg.cholesky(Hs)
+            # in-house blocked Cholesky: XLA's `cholesky` custom call gets a
+            # batch-minormost layout inside this program and runs ~60x slower
+            # (2.44 ms/iter vs 0.04 ms at (256, 87, 87), profiled on v5e).
+            L = chol_lower(Hs)
             # explicit blocked inverse of L: every subsequent KKT solve is a
             # matmul on the MXU; XLA's triangular_solve custom call blows the
             # scoped-VMEM limit at (batch 256, n 87+) and cannot be used here.
@@ -153,7 +160,7 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
             T = Li @ Ae.T                                    # (S L)^-1 Ae'
             S_sc = T.T @ T + delta * I_me
-            Lsi = tri_inv_lower(jnp.linalg.cholesky(S_sc))
+            Lsi = tri_inv_lower(chol_lower(S_sc))
 
             def kkt_solve(r1, r2c):
                 z = Li @ r1

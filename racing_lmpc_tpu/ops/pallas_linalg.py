@@ -136,6 +136,97 @@ def gj_inverse(A: Array, rows_per_program: int = 16,
     return out.reshape(A.shape)
 
 
+def _chol_small(S: Array) -> Array:
+    """Unrolled column Cholesky of a small SPD batch (..., b, b), b <= ~32.
+
+    Pure VPU arithmetic (rank-1 updates), no custom call: XLA's `cholesky`
+    custom call on TPU is layout-sensitive — inside the IPM program layout
+    assignment feeds it batch-minormost (1, 2, 0) operands and it runs ~60x
+    slower (2.4 ms vs 0.04 ms at (256, 87, 87), profiled).  Indefinite
+    inputs produce NaN via sqrt(negative), which the IPM's step_ok guard
+    relies on.
+    """
+    b = S.shape[-1]
+    iota = np.arange(b)
+    cols = []
+    M = S
+    for j in range(b):
+        d = jnp.sqrt(M[..., j, j])                       # NaN if not PD
+        lj = M[..., :, j] / d[..., None]
+        lj = jnp.where(iota >= j, lj, 0.0)               # (..., b)
+        cols.append(lj)
+        M = M - lj[..., :, None] * lj[..., None, :]
+    # stack columns (scatter-free: .at[].set per column lowers to 1 scatter
+    # per step, measurably slow on TPU)
+    return jnp.stack(cols, axis=-1)
+
+
+def _tri_inv_small(L: Array) -> Array:
+    """Unrolled forward-substitution inverse of small lower-triangular
+    (..., b, b) batches — replaces the `triangular_solve` custom call for
+    the blocked base cases (same TPU layout sensitivity as `cholesky`)."""
+    b = L.shape[-1]
+    eye = np.eye(b, dtype=np.float32)
+    zero = jnp.zeros_like(L[..., 0, :])
+    rows: list = []
+    for i in range(b):
+        # scatter-free: restack the rows computed so far (rows >= i are
+        # zero, so the contraction only sees k < i)
+        X = jnp.stack(rows + [zero] * (b - i), axis=-2) if i else None
+        acc = jnp.einsum('...k,...kj->...j', L[..., i, :], X) if i else zero
+        rows.append((eye[i] - acc) / L[..., i, i][..., None])
+    return jnp.stack(rows, axis=-2)
+
+
+def chol_lower(H: Array, block: int = 32) -> Array:
+    """Blocked right-looking Cholesky of SPD batches (..., n, n) -> lower L.
+
+    Diagonal blocks factorize with the unrolled `_chol_small`; panels and
+    Schur updates are (batched) matmuls on the MXU.  Everything stays in
+    f32 with HIGHEST matmul precision — the factor feeds KKT solves that a
+    bf16-truncated product would corrupt (see mpc/ipm.py).
+    """
+    n = H.shape[-1]
+    batch_shape = H.shape[:-2]
+    pad = (-n) % block
+    npad = n + pad
+    if pad:
+        # embed H in the leading block of a padded SPD matrix (identity tail)
+        Hp = jnp.zeros(batch_shape + (npad, npad), dtype=H.dtype)
+        Hp = Hp.at[..., :n, :n].set(H)
+        Hp = Hp.at[..., n:, n:].set(jnp.eye(pad, dtype=H.dtype))
+    else:
+        Hp = H
+    nb = npad // block
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def blk(i, j):
+        return Hp[..., i * block:(i + 1) * block, j * block:(j + 1) * block]
+
+    Lb = [[None] * nb for _ in range(nb)]
+    Dinv_T = [None] * nb
+    for k in range(nb):
+        S = blk(k, k)
+        for j in range(k):
+            S = S - mm(Lb[k][j], jnp.swapaxes(Lb[k][j], -1, -2))
+        Lkk = _chol_small(S)
+        Lb[k][k] = Lkk
+        if k + 1 < nb:
+            Dinv_T[k] = jnp.swapaxes(_tri_inv_small(Lkk), -1, -2)
+        for i in range(k + 1, nb):
+            P = blk(i, k)
+            for j in range(k):
+                P = P - mm(Lb[i][j], jnp.swapaxes(Lb[k][j], -1, -2))
+            Lb[i][k] = mm(P, Dinv_T[k])
+
+    zero = jnp.zeros(batch_shape + (block, block), dtype=H.dtype)
+    rows = [jnp.concatenate(
+        [Lb[i][j] if j <= i else zero for j in range(nb)], axis=-1)
+        for i in range(nb)]
+    out = jnp.concatenate(rows, axis=-2)
+    return out[..., :n, :n]
+
+
 def tri_inv_lower(L: Array, block: int = 32) -> Array:
     """Explicit inverse of a lower-triangular matrix by blocked substitution.
 
@@ -172,12 +263,10 @@ def tri_inv_lower(L: Array, block: int = 32) -> Array:
     def blk(i, j):
         return Lp[..., i * block:(i + 1) * block, j * block:(j + 1) * block]
 
-    Dinv = [None] * nb
-    for i in range(nb):
-        Di = blk(i, i)
-        Dinv[i] = jax.lax.linalg.triangular_solve(
-            Di, jnp.broadcast_to(jnp.eye(block, dtype=L.dtype), Di.shape),
-            left_side=True, lower=True)
+    # diagonal-block inverses via the unrolled substitution — the
+    # `triangular_solve` custom call shares the TPU layout sensitivity of
+    # `cholesky` (see _chol_small) and is avoided entirely.
+    Dinv = [_tri_inv_small(blk(i, i)) for i in range(nb)]
 
     # block-column forward substitution: X_ij = -Dinv_i sum_k L_ik X_kj
     X = [[None] * nb for _ in range(nb)]
