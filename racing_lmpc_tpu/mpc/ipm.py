@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -55,7 +56,8 @@ def _ipm_core(data: QPData, iters: int, delta: float,
               eq_rows: Array | None = None,
               kkt_perm: Array | None = None,
               pair_safe: bool = False,
-              trace: bool = False):
+              trace: bool = False,
+              struct=None):
     """IPM on (scaled) data.  Returns (x, y) with y the OSQP-convention dual
     (y = z_u - z_l, positive on active upper bounds).
 
@@ -128,13 +130,32 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
         from racing_lmpc_tpu.ops.pallas_linalg import chol_lower, tri_inv_lower
 
-        def make_solver(D, delta_p=REG_MIN):
-            Dc = jnp.minimum(D, D_CAP)
+        if struct is not None:
+            # static sparsity of A (see RacingMPC.qp_struct): dense rows hit
+            # only the leading nc columns; diag rows are one-hot.  The
+            # A'DA product shrinks from (n, m)x(m, n) to (nc, md)x(md, nc).
+            dense_rows, nc, diag_rows, diag_cols = struct
+            Ad = A[np.asarray(dense_rows)][:, :nc]          # (md, nc) static
+            a_diag2 = jnp.square(A[np.asarray(diag_rows), np.asarray(diag_cols)])
+
+        def form_AtDA(Dc):
             # NOTE: stays at the ambient HIGHEST matmul precision — dropping
             # this one product to HIGH (3-pass) was measured at +5% speed
             # but -2.5% solved fraction; the barrier weights make the
             # normal-equations product the precision-critical op.
-            H = P + delta_p * I_n + (A.T * Dc) @ A
+            if struct is None:
+                return (A.T * Dc) @ A
+            Hd = (Ad.T * Dc[np.asarray(dense_rows)]) @ Ad
+            dvec = jnp.zeros((n,), dtype=dtype)
+            if len(np.asarray(diag_cols)):
+                dvec = dvec.at[np.asarray(diag_cols)].add(
+                    Dc[np.asarray(diag_rows)] * a_diag2)
+            H = jnp.diag(dvec)
+            return H.at[:nc, :nc].add(Hd)
+
+        def make_solver(D, delta_p=REG_MIN):
+            Dc = jnp.minimum(D, D_CAP)
+            H = P + delta_p * I_n + form_AtDA(Dc)
             # Jacobi pre-scaling: the barrier weights put a ~1e12 spread on
             # diag(H), far beyond f32 Cholesky breakdown (~1e7); normalizing
             # to unit diagonal moves the spread out of the factorization.
@@ -378,7 +399,8 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
                 scale: bool = True, eq_rows: Array | None = None,
                 kkt_perm: Array | None = None,
-                pair_safe: bool = False) -> QPSolution:
+                pair_safe: bool = False,
+                struct=None) -> QPSolution:
     """Ruiz-scale, run the IPM, unscale, report residuals.
 
     Runs under full-f32 matmul precision: TPU's default reduced-precision
@@ -388,13 +410,14 @@ def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
     """
     with jax.default_matmul_precision("highest"):
         return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows, kkt_perm,
-                                  pair_safe)
+                                  pair_safe, struct)
 
 
 def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
                        scale: bool, eq_rows: Array | None = None,
                        kkt_perm: Array | None = None,
-                       pair_safe: bool = False) -> QPSolution:
+                       pair_safe: bool = False,
+                       struct=None) -> QPSolution:
     # The condensed Hessians arrive as f32 Gram-product sums that are only
     # symmetric PSD in exact arithmetic; rounding leaves ~1e-4-relative
     # asymmetry and NEGATIVE curvature (observed lambda_min ~ -2e-4 on BARC
@@ -416,7 +439,7 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     ridge = _RIDGE_REL * (jnp.trace(sdata.P) / n)
     sdata = sdata._replace(P=sdata.P + ridge * jnp.eye(n, dtype=sdata.P.dtype))
     xs, ys = _ipm_core(sdata, iters=iters, delta=delta, eq_rows=eq_rows,
-                       kkt_perm=kkt_perm, pair_safe=pair_safe)
+                       kkt_perm=kkt_perm, pair_safe=pair_safe, struct=struct)
     rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)
     x = xs * D
     y = ys * E / c

@@ -197,6 +197,23 @@ class RacingMPC:
         self.eq_rows = jnp.asarray(
             np.concatenate(eq) if eq else np.zeros((0,), dtype=np.int64))
 
+        # Static sparsity structure of A for the IPM's normal-equations
+        # product (ipm.py): every barrier row before r_lam_pos touches only
+        # the leading v/slack columns; the lambda-positivity rows are
+        # one-hot; everything after is an equality row (barrier weight 0).
+        # Cuts the (m, n) x (n, n) A'DA product to (m_dense, nc) x (nc, nc).
+        nc_dense = L.nuu + (1 if self.has_bslack else 0)
+        m_dense = L.r_lam_pos if config.learning else L.m
+        if config.learning:
+            diag_rows = np.arange(L.r_lam_pos, L.r_lam_pos + self.K)
+            diag_cols = L.lam_off + np.arange(self.K)
+        else:
+            diag_rows = np.zeros((0,), dtype=np.int64)
+            diag_cols = np.zeros((0,), dtype=np.int64)
+        assert m_dense + len(diag_rows) + len(np.asarray(self.eq_rows)) == L.m
+        self.qp_struct = (np.arange(m_dense), nc_dense,
+                          diag_rows, diag_cols)
+
         # static tracking weight table (N, nx): 2*w entries; terminal x10
         Wv = np.zeros((N, nx))
         if not config.learning:
@@ -458,7 +475,8 @@ class RacingMPC:
         if cfg.qp_method == "ipm":
             # interior point restarts from the central path; the warm start
             # is not used (its value is in the shifted X_ref linearization).
-            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows)
+            sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows,
+                              struct=self.qp_struct)
         else:
             x0 = jnp.where(warm_valid, z_warm, jnp.zeros_like(z_warm))
             sol = solve_qp(
