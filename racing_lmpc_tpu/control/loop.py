@@ -221,6 +221,45 @@ class MPCController:
         return (jnp.asarray(ss_x, dtype=jnp.float32),
                 jnp.asarray(ss_j, dtype=jnp.float32))
 
+    def change_trajectory(self, new_track: RacingTrajectory):
+        """Raceline hot-swap with frenet re-projection of the stored plan
+        (racing_mpc_node.cpp change_trajectory, :509-571): every pose of the
+        previous solution is converted old-frenet -> global -> new-frenet
+        (body velocities are frame-independent), so the shifted warm start
+        stays valid across the switch.  The jitted step closes over the
+        track's spline tables, so the step function is re-jitted (compile
+        cache per trajectory, mirroring the reference's per-trajectory
+        interpolant rebuild)."""
+        old = self.track
+        if self.state is not None:
+            X = self.state.last_X                       # (N, nx) old frenet
+            pose_g = jax.vmap(old.frenet_to_global)(X[:, :3])
+            s_seed = new_track.nearest_waypoint_abscissa(pose_g[:, :2])
+            pose_f = jax.vmap(new_track.global_to_frenet)(pose_g, s_seed)
+            X_new = jnp.concatenate([pose_f, X[:, 3:]], axis=-1)
+            z_new = self.mpc.warm_start_vector(
+                X_new, self.state.last_U, self.state.last_dU, self.state.lam)
+            self.state = self.state._replace(last_X=X_new, z_warm=z_new)
+        self.track = new_track
+        self._step_jit = jax.jit(self._rti_step)
+        self._plant_step = jax.jit(self._composed_step)
+
+    def on_trajectory_command(self, cmd, track_map=None):
+        """Apply a ``TrajectoryCommand`` (lmpc_msgs): raceline switch via the
+        trajectory map, speed limit, velocity-profile scale
+        (racing_mpc_node.cpp:131-148,479-507,573-598)."""
+        if track_map is not None and cmd.trajectory_index >= 0:
+            try:
+                tr = track_map.get_trajectory(int(cmd.trajectory_index))
+            except KeyError:
+                tr = None   # unknown index ignored (node logs+skips, :495)
+            if tr is not None and tr is not self.track:
+                self.change_trajectory(tr)
+        if cmd.speed_limit > 0.0:
+            self.speed_limit = float(cmd.speed_limit)
+        if cmd.velocity_profile_scale > 0.0:
+            self.speed_scale = float(cmd.velocity_profile_scale)
+
     def step(self, x_ic: Array, u_ic: Array | None = None) -> StepInfo:
         """One control cycle.  ``x_ic`` is the current model state (Frenet),
         ``u_ic`` the previously applied model control."""

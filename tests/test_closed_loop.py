@@ -86,3 +86,55 @@ def test_simulator_rollout_batched(stack):
     assert float(traj[0, -1, 3]) < 1.0
     # abscissa stays wrapped
     assert float(jnp.abs(traj[..., 0]).max()) <= track.total_length
+
+
+def test_trajectory_hot_swap(stack):
+    """Raceline switch mid-run with frenet re-projection of the stored plan
+    (racing_mpc_node.cpp change_trajectory, :509-571) via TrajectoryCommand
+    handling (:131-148,479-507)."""
+    from racing_lmpc_tpu.msgs import TrajectoryCommand
+    from racing_lmpc_tpu.track import RacingTrajectoryMap
+
+    model, track = stack
+    tmap = RacingTrajectoryMap(TRACK_DIR / "barc")
+    idxs = tmap.indices()
+    assert len(idxs) >= 2
+    cfg = barc_mpc_config("barc_tracking_mpc", n=10, learning=False,
+                          step_mode="step")
+    ctrl = MPCController(cfg, model, tmap.get_trajectory(idxs[0]), 0.025)
+    sim = RacingSimulator(
+        SimulatorConfig(dt=0.025, x0=(0.1, 0.05, 0.0, 1.5, 0.0, 0.0)),
+        model, tmap.get_trajectory(idxs[0]))
+    info = ctrl.step(sim.x)
+    for _ in range(20):
+        sim.step(info.u_base)
+        info = ctrl.step(sim.x, u_ic=info.u_apply)
+    X_before = np.asarray(ctrl.state.last_X)
+
+    # switch to the optimal raceline + tighten the speed limit
+    ctrl.on_trajectory_command(
+        TrajectoryCommand(trajectory_index=idxs[1], speed_limit=2.5,
+                          velocity_profile_scale=0.9), tmap)
+    assert ctrl.track is tmap.get_trajectory(idxs[1])
+    assert ctrl.speed_limit == 2.5 and ctrl.speed_scale == 0.9
+    # plan re-projected: global positions preserved across frames
+    X_after = np.asarray(ctrl.state.last_X)
+    g_old = np.asarray(jnp.stack([
+        tmap.get_trajectory(idxs[0]).frenet_to_global(jnp.asarray(p))
+        for p in X_before[:, :3]]))
+    g_new = np.asarray(jnp.stack([
+        tmap.get_trajectory(idxs[1]).frenet_to_global(jnp.asarray(p))
+        for p in X_after[:, :3]]))
+    assert np.abs(g_old[:, :2] - g_new[:, :2]).max() < 5e-3
+    # body velocities untouched
+    np.testing.assert_allclose(X_after[:, 3:], X_before[:, 3:], atol=1e-6)
+
+    # the loop keeps flying on the new raceline
+    fallbacks = 0
+    lat = []
+    for _ in range(40):
+        sim.step(info.u_base)
+        info = ctrl.step(sim.x, u_ic=info.u_apply)
+        fallbacks += int(bool(info.used_fallback))
+        lat.append(float(sim.x[1]))
+    assert fallbacks <= 10
