@@ -32,12 +32,23 @@ def main():
     out.X_optm.block_until_ready()
     n_ok = int(jnp.sum(out.solved))
 
-    reps = 10
-    t0 = time.perf_counter()
+    # throughput: pipelined dispatch (production serving = continuous
+    # stream), one sync at the end
+    reps = 20
+    t_all = time.perf_counter()
     for _ in range(reps):
         out, _ = solve(inp, z, valid)
     out.X_optm.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    elapsed = time.perf_counter() - t_all
+
+    # latency: per-batch sync (includes the host<->device round trip)
+    lat = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, _ = solve(inp, z, valid)
+        out.X_optm.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
 
     solves_per_s = batch * reps / elapsed
     result = {
@@ -47,7 +58,10 @@ def main():
         "vs_baseline": round(solves_per_s / 1000.0, 3),
         "extra": {
             "batch": batch,
-            "batch_latency_ms": round(elapsed / reps * 1e3, 2),
+            "batch_latency_ms_p50": round(float(np.median(lat_ms)), 2),
+            "batch_latency_ms_p99": round(float(lat_ms[-1]), 2),
+            "per_solve_ms_amortized": round(
+                float(np.median(lat_ms)) / batch, 4),
             "solved_fraction": round(n_ok / batch, 4),
             "device": str(jax.devices()[0]),
         },

@@ -92,3 +92,51 @@ def make_scenario_batch(mpc: RacingMPC, track, manager, batch: int,
         ss_x=jnp.asarray(ss_x),
         ss_j=jnp.asarray(ss_j),
     )
+
+
+def scaling_bench(device_counts=None, batch_per_device: int = 64,
+                  n_horizon: int = 20, num_ss: int = 48, reps: int = 5):
+    """Weak-scaling benchmark: batch grows with the device count, so perfect
+    scaling keeps the per-batch latency constant (efficiency = t_1 / t_N).
+
+    On real multi-chip hardware this measures ICI-mesh scaling of the
+    scenario-parallel LMPC solve; on a virtual CPU mesh (tests/driver) it
+    validates the sharded program end-to-end.  Returns a list of dicts.
+    """
+    import time
+    from racing_lmpc_tpu.parallel import make_mesh, shard_batch, sharded_batch_solver
+
+    if device_counts is None:
+        nd = len(jax.devices())
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= nd]
+
+    model, track, cfg, mpc, manager = build_barc_lmpc(
+        n_horizon=n_horizon, num_ss=num_ss)
+    results = []
+    t1 = None
+    for nd in device_counts:
+        mesh = make_mesh(jax.devices()[:nd])
+        batch = batch_per_device * nd
+        inp = make_scenario_batch(mpc, track, manager, batch)
+        z = jnp.zeros((batch, mpc.layout.n), dtype=jnp.float32)
+        valid = jnp.zeros((batch,), dtype=bool)
+        inp_s, z_s, valid_s = (shard_batch(x, mesh) for x in (inp, z, valid))
+        solver = sharded_batch_solver(mpc._solve_impl, mesh)
+        out, _ = solver(inp_s, z_s, valid_s)
+        out.X_optm.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out, _ = solver(inp_s, z_s, valid_s)
+        out.X_optm.block_until_ready()
+        t = (time.perf_counter() - t0) / reps
+        if t1 is None:
+            t1 = t
+        results.append({
+            "devices": nd,
+            "batch": batch,
+            "batch_latency_ms": round(t * 1e3, 2),
+            "solves_per_s": round(batch / t, 1),
+            "weak_scaling_efficiency": round(t1 / t, 4),
+            "solved_fraction": round(float(jnp.mean(out.solved)), 4),
+        })
+    return results

@@ -155,3 +155,34 @@ class TrajectoryCommand:
 class ControllerStatusMsg:
     status: int = 0
     message: str = ""
+
+
+@dataclass
+class EncoderMsg:
+    """Wheel encoder counts / velocity estimates (EncoderMsg.msg:1-8):
+    driveshaft + four wheels."""
+    t: float = 0.0
+    ds: float = 0.0
+    fl: float = 0.0
+    fr: float = 0.0
+    bl: float = 0.0
+    br: float = 0.0
+
+
+@dataclass
+class TimingMsg:
+    """Node-step timing data (TimingMsg.msg:1-6)."""
+    step_start_time: float = 0.0
+    step_execution_time: float = 0.0
+    source_time: float = 0.0
+    publish_time: float = 0.0
+
+
+@dataclass
+class TrackLookaheadMsg:
+    """Curvature lookahead along the track (TrackLookaheadMsg.msg:1-8)."""
+    t: float = 0.0
+    l: float = 0.0
+    dl: float = 0.0
+    n: float = 0.0
+    curvature: list = field(default_factory=list)
