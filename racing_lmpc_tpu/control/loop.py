@@ -263,6 +263,7 @@ class MPCController:
     def step(self, x_ic: Array, u_ic: Array | None = None) -> StepInfo:
         """One control cycle.  ``x_ic`` is the current model state (Frenet),
         ``u_ic`` the previously applied model control."""
+        x_np = np.asarray(x_ic, dtype=np.float64)
         x_ic = jnp.asarray(x_ic, dtype=jnp.float32)
         if u_ic is None:
             u_ic = jnp.zeros((self.mpc.nu,), dtype=jnp.float32)
@@ -273,9 +274,11 @@ class MPCController:
             if self.config.load and not self._ss_loaded:
                 self.ss_recorder.load(self.config.load_path, self.track.total_length)
                 self._ss_loaded = True
-            k_now = float(self.track.curvature(x_ic[0]))
+            # host spline twin: a device round trip per recorder step would
+            # dominate the cycle on tunneled/remote TPUs
+            k_now = float(self.track.curvature_np(x_np[0]))
             self.ss_recorder.step(
-                np.asarray(x_ic), np.asarray(u_ic), k_now, self._time,
+                x_np, np.asarray(u_ic), k_now, self._time,
                 self.track.total_length)
             self._time += self.dt
 

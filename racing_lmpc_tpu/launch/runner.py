@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from racing_lmpc_tpu.config import (
@@ -178,18 +179,20 @@ class CoSimulation:
         """Global sim state -> full VehicleStateMsg incl. parametric pose
         and velocity (racing_simulator_node update_vehicle_state_msg,
         :203-238)."""
+        # host spline twins: one device pull for the state, all frenet/
+        # curvature bookkeeping on the host (a device call per quantity
+        # would dominate the loop on tunneled/remote TPUs)
         x = np.asarray(self.simulator.x)
-        pose_g = jnp.asarray(x[:3], dtype=jnp.float32)
-        pf = np.asarray(self.track.global_to_frenet(
-            pose_g, s_prev=self._s_prev_seed))
-        self._s_prev_seed = jnp.asarray(pf[0])
+        pf = self.track.global_to_frenet_np(
+            x[:3].astype(np.float64), s_prev=self._s_prev_seed)
+        self._s_prev_seed = float(pf[0])
         msg = VehicleStateMsg(t=self._t)
         msg.x.x, msg.x.y = float(x[0]), float(x[1])
         msg.e.psi = float(x[2])
         msg.v.v_long, msg.v.v_tran = float(x[3]), float(x[4])
         msg.w.w_psi = float(x[5])
         msg.p.s, msg.p.x_tran, msg.p.e_psi = map(float, pf)
-        k = float(self.track.curvature(jnp.asarray(pf[0])))
+        k = float(self.track.curvature_np(pf[0]))
         msg.pt.ds = float(
             (x[3] * np.cos(pf[2]) - x[4] * np.sin(pf[2])) / (1.0 - pf[1] * k))
         msg.pt.dx_tran = float(x[3] * np.sin(pf[2]) + x[4] * np.cos(pf[2]))
@@ -206,22 +209,25 @@ class CoSimulation:
 
         t0 = time.perf_counter()
         info = self.controller.step(x_frenet, u_ic=self._u_prev)
+        # ONE host<->device round trip for everything this cycle consumes
+        u_base, u_apply, obj, x0, fb = jax.device_get(
+            (info.u_base, info.u_apply, info.output.obj,
+             info.output.X_optm[0], info.used_fallback))
         solve_time = time.perf_counter() - t0
         self.profiler.add_cycle_stats(solve_time)
         self._u_prev = info.u_apply
 
         # actuation: dominant-force sign split (racing_mpc_node.cpp:396-402)
-        u_base = np.asarray(info.u_base)
         u_a = u_base[0] if abs(u_base[0]) > abs(u_base[1]) else u_base[1]
         act = VehicleActuationMsg(t=self._t, u_a=float(u_a),
                                   u_steer=float(u_base[2]))
 
         tel = MPCTelemetry(
             trajectory_index=self.spec.default_traj_idx,
-            solved=not bool(info.used_fallback),
-            cost=float(info.output.obj),
-            state=[float(v) for v in np.asarray(info.output.X_optm[0])],
-            control=[float(v) for v in np.asarray(info.u_apply)],
+            solved=not bool(fb),
+            cost=float(obj),
+            state=[float(v) for v in x0],
+            control=[float(v) for v in u_apply],
             solve_time=solve_time)
         self.telemetry.append(tel)
         return act

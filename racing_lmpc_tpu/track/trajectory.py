@@ -96,6 +96,17 @@ class RacingTrajectory:
         # waypoint arrays for the nearest-point seed (KD-tree replacement)
         self.waypoints_xy = jnp.asarray(table[:, [T.PX, T.PY]], dtype=dtype)
         self.waypoints_s = jnp.asarray(s, dtype=dtype)
+        self._wp_xy_np = np.asarray(table[:, [T.PX, T.PY]], dtype=np.float64)
+        self._wp_s_np = np.asarray(s, dtype=np.float64)
+        # native KD-tree over waypoints for host-side projection seeds
+        # (trajectory_kd_tree.hpp:69-121 role); None -> brute-force argmin
+        self._kdtree = None
+        try:
+            from racing_lmpc_tpu import native
+            if native.available():
+                self._kdtree = native.KdTree2D(self._wp_xy_np)
+        except Exception:
+            pass
 
     @classmethod
     def from_file(cls, file_name: str | Path, dtype=jnp.float32) -> "RacingTrajectory":
@@ -178,6 +189,47 @@ class RacingTrajectory:
         num = d[..., 0] * dd[..., 1] - d[..., 1] * dd[..., 0]
         den = (d[..., 0] ** 2 + d[..., 1] ** 2) ** 1.5
         return num / den
+
+    def nearest_waypoint_abscissa_np(self, xy: np.ndarray) -> np.ndarray:
+        """Host twin of nearest_waypoint_abscissa: native KD-tree when
+        available, brute-force argmin otherwise."""
+        xy = np.asarray(xy, dtype=np.float64)
+        if self._kdtree is not None:
+            idx, _ = self._kdtree.knn(xy.reshape(-1, 2).astype(np.float32), 1)
+            return self._wp_s_np[idx[:, 0]].reshape(np.shape(xy)[:-1])
+        d2 = np.sum((self._wp_xy_np - xy[..., None, :]) ** 2, axis=-1)
+        return self._wp_s_np[np.argmin(d2, axis=-1)]
+
+    def global_to_frenet_np(self, pose_global: np.ndarray,
+                            s_prev: float | np.ndarray | None = None
+                            ) -> np.ndarray:
+        """Host twin of global_to_frenet (same guarded-Newton projection on
+        the SciPy spline twins) for control-loop bookkeeping paths where a
+        device round trip per call would dominate the cycle."""
+        pose_global = np.asarray(pose_global, dtype=np.float64)
+        xy = pose_global[..., :2]
+        phi = pose_global[..., 2]
+        L = float(self.total_length)
+        s = (np.asarray(s_prev, dtype=np.float64) if s_prev is not None
+             else self.nearest_waypoint_abscissa_np(xy))
+        for _ in range(NEWTON_ITERS):
+            gamma = self._xy_cs(s)
+            d1 = self._xy_cs(s, 1)
+            d2 = self._xy_cs(s, 2)
+            r = gamma - xy
+            g = 2.0 * np.sum(d1 * r, axis=-1)
+            h = 2.0 * (np.sum(d1 * d1, axis=-1) + np.sum(d2 * r, axis=-1))
+            h_safe = np.where(h > 1e-6, h, 2.0 * np.sum(d1 * d1, axis=-1))
+            s = s - np.clip(g / h_safe, -0.25 * L, 0.25 * L)
+        s = s - np.floor(s / L) * L
+        gamma = self._xy_cs(s)
+        d1 = self._xy_cs(s, 1)
+        yaw0 = np.arctan2(d1[..., 1], d1[..., 0])
+        t = np.hypot(xy[..., 0] - gamma[..., 0], xy[..., 1] - gamma[..., 1])
+        sign = np.sign((xy[..., 0] - gamma[..., 0]) * -np.sin(yaw0)
+                       + (xy[..., 1] - gamma[..., 1]) * np.cos(yaw0))
+        xi = np.arctan2(np.sin(phi - yaw0), np.cos(phi - yaw0))
+        return np.stack([s, t * sign, xi], axis=-1)
 
     # ------------------------------------------------------------------
     # frenet <-> global
