@@ -93,9 +93,9 @@ _SCENARIOS = {
         vehicle_model_yaml="iac_car_single_track.param.yaml",
         mpc_yaml="iac_car_lmpc.param.yaml",
         track_dir="putnam_short",
-        sim_track_file="putnam_short/04_putnam_short_center.txt",
-        default_traj_idx=4,
-        x0_global=(-24.5, 39.4, -1.0, 15.0, 0.0, 0.0),
+        sim_track_file="putnam_short/08_putnam_short_optm.txt",
+        default_traj_idx=8,
+        x0_global=(-10.0, 2.0, 3.14, 10.0, 0.0, 0.0),
         dt=0.1,
     ),
     "putnam_short_tracking_mpc": ScenarioSpec(
@@ -104,18 +104,18 @@ _SCENARIOS = {
         vehicle_model_yaml="iac_car_single_track.param.yaml",
         mpc_yaml="iac_car_tracking_mpc.param.yaml",
         track_dir="putnam_short",
-        sim_track_file="putnam_short/04_putnam_short_center.txt",
-        default_traj_idx=4,
-        x0_global=(-24.5, 39.4, -1.0, 15.0, 0.0, 0.0),
+        sim_track_file="putnam_short/08_putnam_short_optm.txt",
+        default_traj_idx=8,
+        x0_global=(-10.0, 2.0, 3.14, 15.0, 0.0, 0.0),
     ),
     "putnam_config_a_tracking_mpc": ScenarioSpec(
         name="putnam_config_a_tracking_mpc",
         vehicle_base_yaml="iac_car_base.param.yaml",
         vehicle_model_yaml="iac_car_single_track.param.yaml",
         mpc_yaml="iac_car_tracking_mpc.param.yaml",
-        track_dir="putnam", sim_track_file="putnam/3_putnam_center.txt",
-        default_traj_idx=3,
-        x0_global=(-24.5, 39.4, -1.0, 15.0, 0.0, 0.0),
+        track_dir="putnam", sim_track_file="putnam/10_putnam_optm.txt",
+        default_traj_idx=10,
+        x0_global=(-10.0, 2.0, 3.14, 15.0, 0.0, 0.0),
     ),
 }
 
