@@ -54,8 +54,6 @@ _RIDGE_REL = 1e-5
 
 def _ipm_core(data: QPData, iters: int, delta: float,
               eq_rows: Array | None = None,
-              kkt_perm: Array | None = None,
-              pair_safe: bool = False,
               trace: bool = False,
               struct=None):
     """IPM on (scaled) data.  Returns (x, y) with y the OSQP-convention dual
@@ -67,9 +65,6 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     block — two pivot-free batched factorizations instead of one pivoted LU
     of the full (n+m) KKT, which is the difference between ~1% and decent
     MXU utilization on TPU.
-
-    ``kkt_perm`` / ``pair_safe`` are retained for API compatibility with the
-    earlier interleaved-LDL^T path and are ignored by the Cholesky path.
     """
     P, q, A, l, u = data
     n = P.shape[0]
@@ -398,8 +393,6 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
 def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
                 scale: bool = True, eq_rows: Array | None = None,
-                kkt_perm: Array | None = None,
-                pair_safe: bool = False,
                 struct=None) -> QPSolution:
     """Ruiz-scale, run the IPM, unscale, report residuals.
 
@@ -409,14 +402,11 @@ def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
     convergence quality (verified: 0 vs 21% failed solves in closed loop).
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows, kkt_perm,
-                                  pair_safe, struct)
+        return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows, struct)
 
 
 def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
                        scale: bool, eq_rows: Array | None = None,
-                       kkt_perm: Array | None = None,
-                       pair_safe: bool = False,
                        struct=None) -> QPSolution:
     # The condensed Hessians arrive as f32 Gram-product sums that are only
     # symmetric PSD in exact arithmetic; rounding leaves ~1e-4-relative
@@ -439,7 +429,7 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     ridge = _RIDGE_REL * (jnp.trace(sdata.P) / n)
     sdata = sdata._replace(P=sdata.P + ridge * jnp.eye(n, dtype=sdata.P.dtype))
     xs, ys = _ipm_core(sdata, iters=iters, delta=delta, eq_rows=eq_rows,
-                       kkt_perm=kkt_perm, pair_safe=pair_safe, struct=struct)
+                       struct=struct)
     rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)
     x = xs * D
     y = ys * E / c

@@ -82,7 +82,7 @@ class SafeSetManager:
     """
 
     def __init__(self, max_laps: int, nx: int = 6, nu: int = 2,
-                 pad_len: int = 1024, use_native: bool = True):
+                 pad_len: int = 2048, use_native: bool = True):
         self._native = None
         if use_native:
             try:
