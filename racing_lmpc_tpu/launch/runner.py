@@ -97,6 +97,15 @@ _SCENARIOS = {
         default_traj_idx=8,
         x0_global=(-10.0, 2.0, 3.14, 10.0, 0.0, 0.0),
         dt=0.1,
+        # warm-start safe set recorded with the tracking controller on this
+        # raceline (the reference's launch points at laps absent from its
+        # repo — a stale author path; these replace them).  NOTE: this 10 Hz
+        # IAC LMPC configuration is marginal — the shifted plan drifts into
+        # small steering-bound/x-box LP-infeasibilities (~0.05 rad over one
+        # stage, elastic-LP certified) and falls back often; the reference
+        # cannot run this scenario as shipped at all (missing lap files).
+        load_laps=tuple(str(SS_DIR / "putnam_short" / f"ss_lap_{i}")
+                        for i in (1, 2, 3)),
     ),
     "putnam_short_tracking_mpc": ScenarioSpec(
         name="putnam_short_tracking_mpc",
