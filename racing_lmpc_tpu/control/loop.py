@@ -42,6 +42,19 @@ from racing_lmpc_tpu.ops.math import align_abscissa
 from racing_lmpc_tpu.track.trajectory import RacingTrajectory
 
 
+class RegressionSpec(NamedTuple):
+    """Opt-in local error-dynamics regression (the paper's headline feature,
+    arXiv:2309.10716; infrastructure in safe_set.cpp:182-245 that the
+    reference node never invokes).  Each group fits the one-step prediction
+    error of ONE output state from selected state/control inputs with an
+    Epanechnikov-kernel weighted least squares around the current operating
+    point; the resulting (dA, dB, dC) corrections enter the stage
+    linearization (locally constant over the horizon)."""
+    dist_max: float
+    # each group: (in_state_idxs, in_control_idxs, out_state_idx)
+    groups: tuple
+
+
 class ControllerState(NamedTuple):
     last_X: Array    # (N, nx) previous optimal states (shifted each step)
     last_U: Array    # (N-1, nu)
@@ -60,11 +73,14 @@ class StepInfo(NamedTuple):
 class MPCController:
     def __init__(self, config: RacingMPCConfig, model: VehicleModel,
                  track: RacingTrajectory, dt: float,
-                 safe_set_query: Callable | None = None):
+                 safe_set_query: Callable | None = None,
+                 regression: RegressionSpec | None = None):
         self.config = config
         self.model = model
         self.track = track
         self.dt = dt
+        self.regression = regression
+        self._pred_fn = jax.jit(jax.vmap(model.discrete_dynamics))
         self.mpc = RacingMPC(config, model)
         self.safe_set_query = safe_set_query
         self.delay_step = 1 if config.step_mode == "continuous" else 0
@@ -120,7 +136,8 @@ class MPCController:
     # ------------------------------------------------------------------
     def _rti_step(self, x_ic: Array, u_ic: Array, state: ControllerState,
                   ss_x: Array, ss_j: Array, speed_limit: Array,
-                  speed_scale: Array) -> tuple[ControllerState, StepInfo]:
+                  speed_scale: Array,
+                  regs=None) -> tuple[ControllerState, StepInfo]:
         mpc = self.mpc
         N, nu = mpc.N, mpc.nu
         dtype = x_ic.dtype
@@ -145,7 +162,10 @@ class MPCController:
             T_ref=jnp.full((N - 1,), self.dt, dtype=dtype),
             bound_left=bl, bound_right=br,
             total_length=jnp.asarray(self.track.total_length, dtype=dtype),
-            curvatures=curv, vel_ref=vel_ref, ss_x=ss_x, ss_j=ss_j)
+            curvatures=curv, vel_ref=vel_ref, ss_x=ss_x, ss_j=ss_j,
+            dA=None if regs is None else regs[0],
+            dB=None if regs is None else regs[1],
+            dC=None if regs is None else regs[2])
 
         z_warm = mpc.warm_start_vector(X_ref, U_ref, dU_ref, state.lam)
         out, z = mpc._solve_impl(inp, z_warm, jnp.asarray(True))
@@ -286,8 +306,32 @@ class MPCController:
             self.bootstrap(x_ic)
         # safe-set query at the (to-be-shifted) terminal point
         ss_x, ss_j = self._query_safe_set(self.state.last_X[-1])
+        regs = self._query_regression(x_np, np.asarray(u_ic))
         self.state, info = self._step_jit(
             x_ic, jnp.asarray(u_ic, dtype=jnp.float32), self.state, ss_x, ss_j,
             jnp.asarray(self.speed_limit, dtype=jnp.float32),
-            jnp.asarray(self.speed_scale, dtype=jnp.float32))
+            jnp.asarray(self.speed_scale, dtype=jnp.float32), regs)
         return info
+
+    def _query_regression(self, x_np: np.ndarray, u_np: np.ndarray):
+        """Per-step error-dynamics regression around the current operating
+        point -> (dA, dB, dC) corrections, or None when disabled/no laps."""
+        if (self.regression is None or self.ss_manager is None
+                or self.ss_manager.num_laps == 0):
+            return None
+        from racing_lmpc_tpu.safeset.safe_set import RegQuery
+        nx, nu = self.model.nx, self.model.nu
+        dA = np.zeros((nx, nx)); dB = np.zeros((nx, nu)); dC = np.zeros(nx)
+        for in_x, in_u, out_i in self.regression.groups:
+            qx = np.concatenate([x_np[list(in_x)], u_np[list(in_u)]])
+            res = self.ss_manager.query_regression(RegQuery(
+                x=qx, dist_max=self.regression.dist_max,
+                reg_in_state_idxs=(tuple(in_x),),
+                reg_in_control_idxs=(tuple(in_u),),
+                reg_out_state_idxs=((out_i,),),
+                A=np.zeros((nx, nx)), B=np.zeros((nx, nu)), C=np.zeros(nx),
+                f=lambda x, u, k, dt: self.model.discrete_dynamics(x, u, k, dt)))
+            dA += res.A; dB += res.B; dC += res.C
+        return (jnp.asarray(dA, dtype=jnp.float32),
+                jnp.asarray(dB, dtype=jnp.float32),
+                jnp.asarray(dC, dtype=jnp.float32))

@@ -87,6 +87,13 @@ class MPCInput(NamedTuple):
     vel_ref: Array       # (N,)
     ss_x: Array          # (K, nx)  padded safe-set states (zeros if unused)
     ss_j: Array          # (K,)     padded relative cost-to-go
+    # optional error-dynamics corrections from the safe-set regression
+    # (paper's headline feature; SafeSetManager.query_regression): additive
+    # (dA, dB, dC) on the stage linearization, locally constant over the
+    # horizon (one RegQuery per control step, safe_set.hpp:57-76)
+    dA: Array | None = None    # (nx, nx)
+    dB: Array | None = None    # (nx, nu)
+    dC: Array | None = None    # (nx,)
 
 
 class MPCOutput(NamedTuple):
@@ -262,6 +269,14 @@ class RacingMPC:
 
         As, Bs, gs = jax.vmap(self.model.discrete_dynamics_jacobian)(
             inp.X_ref[:-1], inp.U_ref, inp.curvatures[:-1], inp.T_ref)
+        if inp.dA is not None:
+            # data-driven error-dynamics correction: the corrected model is
+            # f'(x, u) = f(x, u) + dA x + dB u + dC, whose linearization at
+            # the reference is (A + dA, B + dB, g + dC) — the affine
+            # remainder g' = f'(ref) - A' xref - B' uref collapses to g + dC.
+            As = As + inp.dA[None]
+            Bs = Bs + inp.dB[None]
+            gs = gs + inp.dC[None, :]
         Bs_s = Bs * su[None, None, :]            # absorb control scale
 
         # backward Riccati for the pre-stabilizing gains (scaled controls,

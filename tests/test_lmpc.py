@@ -85,3 +85,36 @@ def test_lmpc_records_new_laps(lmpc_stack):
         rec.step(np.array([s, 0.0, 0.0, 2.0, 0.0, 0.0]), np.zeros(2),
                  0.0, t0 + i * 0.025, L)
     assert rec.lap_count > laps_before
+
+
+def test_lmpc_with_error_regression(lmpc_stack):
+    """Error-dynamics regression enabled (paper headline; RegQuery path):
+    the corrections stay small/finite and the closed loop keeps running."""
+    from racing_lmpc_tpu.control.loop import MPCController, RegressionSpec
+
+    model, track, cfg, _ = lmpc_stack
+    spec = RegressionSpec(
+        dist_max=3.0,
+        groups=(((3, 4, 5), (0, 1), 4),    # vy error from (vx, vy, w, u)
+                ((3, 4, 5), (0, 1), 5)))   # yaw-rate error
+    ctrl = MPCController(cfg, model, track, 0.025, regression=spec)
+    sim = RacingSimulator(
+        SimulatorConfig(dt=0.025, x0=(0.1, 0.04, 0.0, 1.9, 0.0, 0.0)),
+        model, track)
+    info = ctrl.step(sim.x, u_ic=jnp.zeros(2))
+    assert ctrl.ss_manager.num_laps == 3
+    regs = ctrl._query_regression(np.asarray(sim.x), np.zeros(2))
+    assert regs is not None
+    dA, dB, dC = [np.asarray(r) for r in regs]
+    assert np.all(np.isfinite(dA)) and np.all(np.isfinite(dB))
+    # corrections only touch the requested output rows
+    assert np.abs(dA[[0, 1, 2, 3]]).max() == 0.0
+    assert np.abs(dA[[4, 5]]).sum() > 0.0
+    fallbacks = 0
+    for _ in range(40):
+        sim.step(info.u_base)
+        info = ctrl.step(sim.x, u_ic=info.u_apply)
+        fallbacks += int(bool(info.used_fallback))
+    x = np.asarray(sim.x)
+    assert fallbacks <= 10
+    assert abs(x[1]) < 0.45 and np.all(np.isfinite(x))
