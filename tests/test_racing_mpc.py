@@ -139,8 +139,10 @@ def test_batched_solve_matches_single(setup):
     xs = np.tile(np.array([1.0, 0.0, 0.0, 1.5, 0.0, 0.0], dtype=np.float32), (B, 1))
     xs[:, 1] = np.linspace(-0.1, 0.1, B)
     inps = [make_input(mpc, track, xs[b], 1.5) for b in range(B)]
-    batch = MPCInput(*[jnp.stack([getattr(i, f) for i in inps])
-                       for f in MPCInput._fields])
+    batch = MPCInput(*[
+        jnp.stack([getattr(i, f) for i in inps])
+        if getattr(inps[0], f) is not None else None
+        for f in MPCInput._fields])
     zw = jnp.zeros((B, mpc.layout.n), dtype=jnp.float32)
     valid = jnp.zeros((B,), dtype=bool)
     outs, zs = mpc.solve_batch(batch, zw, valid)
