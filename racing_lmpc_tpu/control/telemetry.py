@@ -99,3 +99,30 @@ class CycleProfiler:
 
     def __len__(self):
         return len(self._buf)
+
+
+class XprofTrace:
+    """Context manager capturing a device trace with ``jax.profiler`` — the
+    TPU-native tracing counterpart of the reference's DiagnosticArray
+    profiling (SURVEY.md section 5): wall-clock windows come from
+    CycleProfiler; per-op device breakdowns come from Xprof traces.
+
+        with XprofTrace("/tmp/trace"):
+            solve(...)   # traced
+
+    View with xprof/tensorboard-plugin-profile, or post-process the
+    ``*.xplane.pb`` with ``xprof.convert.raw_to_tool_data``.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = str(log_dir)
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False

@@ -71,3 +71,37 @@ class TrajectoryVisualizer:
     def export_json(self, path: str | Path):
         data = {k: v.tolist() for k, v in self.polylines().items()}
         Path(path).write_text(json.dumps(data))
+
+    def plot_run(self, states_global: np.ndarray, path: str | Path,
+                 speeds: np.ndarray | None = None, title: str = ""):
+        """Render the track (centerline + boundaries) and a driven
+        trajectory to a PNG — the offline stand-in for the reference's
+        Foxglove dashboard (lmpc.foxglove.json).
+
+        ``states_global``: (T, >=2) global x/y positions; ``speeds``
+        optionally colors the trajectory by velocity.
+        """
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        lines = self.polylines()
+        fig, ax = plt.subplots(figsize=(8, 8))
+        ax.plot(*lines["center"].T, color="0.75", lw=0.8, ls="--",
+                label="centerline")
+        ax.plot(*lines["left"].T, color="0.3", lw=1.2)
+        ax.plot(*lines["right"].T, color="0.3", lw=1.2)
+        xy = np.asarray(states_global)[:, :2]
+        if speeds is not None:
+            sc = ax.scatter(xy[:, 0], xy[:, 1], c=np.asarray(speeds), s=4,
+                            cmap="viridis")
+            fig.colorbar(sc, ax=ax, label="speed [m/s]", shrink=0.8)
+        else:
+            ax.plot(xy[:, 0], xy[:, 1], color="C0", lw=1.5, label="driven")
+        ax.set_aspect("equal")
+        ax.set_title(title)
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        fig.tight_layout()
+        fig.savefig(path, dpi=130)
+        plt.close(fig)

@@ -127,3 +127,27 @@ def test_launch_runner_barc_tracking():
     assert all(t.solve_time > 0 for t in cosim.telemetry)
     # the vehicle moved along the track
     assert cosim._last_s > 1.5
+
+
+def test_visualizer_plot_run(tmp_path):
+    from racing_lmpc_tpu.config import TRACK_DIR
+    from racing_lmpc_tpu.track import RacingTrajectory
+    from racing_lmpc_tpu.track.visualizer import TrajectoryVisualizer
+    import numpy as np
+
+    track = RacingTrajectory.from_file(TRACK_DIR / "barc" / "02_barc_center.txt")
+    viz = TrajectoryVisualizer(track, num_samples=200)
+    xy = np.asarray(viz.polylines()["center"][:50])
+    out = tmp_path / "lap.png"
+    viz.plot_run(xy, out, speeds=np.linspace(1, 3, 50), title="test lap")
+    assert out.stat().st_size > 10_000
+
+
+def test_xprof_trace(tmp_path):
+    import glob
+    import jax.numpy as jnp
+    from racing_lmpc_tpu.control.telemetry import XprofTrace
+
+    with XprofTrace(tmp_path):
+        jnp.ones(8).sum().block_until_ready()
+    assert glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True)
