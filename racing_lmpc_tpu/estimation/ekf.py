@@ -29,6 +29,7 @@ from jax import Array
 from racing_lmpc_tpu.config import EKFConfig
 from racing_lmpc_tpu.models.base import VehicleModel
 from racing_lmpc_tpu.ops.integrators import rk4
+from racing_lmpc_tpu.ops.pallas_linalg import inv_small
 
 
 class EKFAlreadyInitializedException(RuntimeError):
@@ -124,7 +125,7 @@ class EKFStateEstimator:
                 H = jax.jacfwd(h, argnums=0)(x_p, z_safe)
                 y = z_safe - h(x_p, z_safe)
                 S = H @ P_p @ H.T + R
-                Kz = P_p @ H.T @ jnp.linalg.inv(S)
+                Kz = P_p @ H.T @ inv_small(S)
                 x_c = x_p + Kz @ y
                 P_c = (jnp.eye(nx, dtype=x.dtype) - Kz @ H) @ P_p
                 # NaN/Inf input -> pure prediction (:155-167)

@@ -23,6 +23,7 @@ from jax import Array
 from racing_lmpc_tpu.config import RacingLQRConfig
 from racing_lmpc_tpu.models.base import VehicleModel
 from racing_lmpc_tpu.ops.integrators import c2d, rk4
+from racing_lmpc_tpu.ops.pallas_linalg import solve_small
 
 
 class LQRSolution(NamedTuple):
@@ -59,7 +60,7 @@ class RacingLQR:
             def backward(P, AB):
                 A, B = AB
                 BtP = B.T @ P
-                K = jnp.linalg.solve(self.R + BtP @ B, BtP @ A)
+                K = solve_small(self.R + BtP @ B, BtP @ A)
                 P_new = self.Q + A.T @ P @ (A - B @ K)
                 return P_new, K
 

@@ -64,6 +64,7 @@ from racing_lmpc_tpu.models.base import BaseXIndex, VehicleModel
 from racing_lmpc_tpu.mpc.qp import QPData, QPSolution, solve_qp
 from racing_lmpc_tpu.mpc.ipm import solve_qp_ip
 from racing_lmpc_tpu.ops.math import align_abscissa
+from racing_lmpc_tpu.ops.pallas_linalg import solve_small
 
 # fixed diagonal variable scaling (racing_mpc.cpp:36-37); states are
 # eliminated by the condensing, so only the control scaling is applied to
@@ -288,7 +289,9 @@ class RacingMPC:
         def riccati(Pn, AB):
             Ai, Bi = AB
             BtP = Bi.T @ Pn
-            Ki = jnp.linalg.solve(I_nu + BtP @ Bi, BtP @ Ai)
+            # closed-form nu x nu solve: linalg.solve's pivoted-LU custom
+            # call costs ~2.8 ms per batch inside this scan (profiled)
+            Ki = solve_small(I_nu + BtP @ Bi, BtP @ Ai)
             Acl = Ai - Bi @ Ki
             Pi = Q_lqr + Ai.T @ Pn @ Acl
             return 0.5 * (Pi + Pi.T), Ki

@@ -284,3 +284,37 @@ def tri_inv_lower(L: Array, block: int = 32) -> Array:
         for i in range(nb)]
     out = jnp.concatenate(rows, axis=-2)
     return out[..., :n, :n]
+
+
+def inv_small(M: Array) -> Array:
+    """Closed-form inverse for tiny trailing dims (1/2/3): adjugate over
+    determinant.  `jnp.linalg.solve`/`inv` lower to the pivoted-LU custom
+    call, which costs ~2.8 ms per solve batch inside the Riccati scan
+    (profiled, batch 256, 2x2!) under TPU's batch-minormost layouts; the
+    closed form is a handful of fused VPU ops.  Falls back to
+    `jnp.linalg.inv` for larger sizes."""
+    k = M.shape[-1]
+    if k == 1:
+        return 1.0 / M
+    if k == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, d = M[..., 1, 0], M[..., 1, 1]
+        det = a * d - b * c
+        adj = jnp.stack([jnp.stack([d, -b], -1),
+                         jnp.stack([-c, a], -1)], -2)
+        return adj / det[..., None, None]
+    if k == 3:
+        m = [[M[..., i, j] for j in range(3)] for i in range(3)]
+        cof = [[m[(i+1) % 3][(j+1) % 3] * m[(i+2) % 3][(j+2) % 3]
+                - m[(i+1) % 3][(j+2) % 3] * m[(i+2) % 3][(j+1) % 3]
+                for j in range(3)] for i in range(3)]
+        det = sum(m[0][j] * cof[0][j] for j in range(3))
+        adj = jnp.stack([jnp.stack([cof[j][i] for j in range(3)], -1)
+                         for i in range(3)], -2)
+        return adj / det[..., None, None]
+    return jnp.linalg.inv(M)
+
+
+def solve_small(M: Array, X: Array) -> Array:
+    """``M^{-1} X`` through `inv_small` (see there for why not linalg.solve)."""
+    return inv_small(M) @ X
