@@ -138,3 +138,35 @@ def test_trajectory_hot_swap(stack):
         fallbacks += int(bool(info.used_fallback))
         lat.append(float(sim.x[1]))
     assert fallbacks <= 10
+
+
+def test_kinematic_bicycle_closed_loop():
+    """BASELINE config-1 gate: kinematic bicycle (nx=4, nu=3) through the
+    full MPC stack on the BARC oval — exercises the nu=3 scaling, bounds,
+    and base-control conversion paths the single-track launches skip."""
+    from racing_lmpc_tpu.config import PARAM_DIR, load_ros_params
+    from racing_lmpc_tpu.models.factory import load_vehicle_model
+
+    params = load_ros_params(PARAM_DIR / "barc_base.param.yaml",
+                             PARAM_DIR / "barc_single_track.param.yaml")
+    model = load_vehicle_model("kinematic_bicycle_model", params)
+    assert (model.nx, model.nu) == (4, 3)
+    track = RacingTrajectory.from_file(TRACK_DIR / "barc" / "02_barc_center.txt")
+    r3 = (1e-3, 0, 0, 0, 1e-3, 0, 0, 0, 1.0)
+    rd3 = (1e-2, 0, 0, 0, 1e-2, 0, 0, 0, 1.0)
+    cfg = barc_mpc_config("barc_tracking_mpc", n=10, learning=False,
+                          step_mode="step", r=r3, r_d=rd3,
+                          x_max=(), x_min=(), u_max=(), u_min=())
+    ctrl = MPCController(cfg, model, track, 0.025)
+    sim = RacingSimulator(SimulatorConfig(dt=0.025, x0=(0.1, 0.05, 0.0, 1.0)),
+                          model, track)
+    info = ctrl.step(sim.x)
+    fallbacks, lat = 0, []
+    for _ in range(60):
+        sim.step(info.u_base)
+        info = ctrl.step(sim.x, u_ic=info.u_apply)
+        fallbacks += int(bool(info.used_fallback))
+        lat.append(abs(float(sim.x[1])))
+    assert fallbacks <= 5
+    assert max(lat) < 0.2          # stays near the centerline
+    assert float(sim.x[3]) > 1.0   # makes progress
