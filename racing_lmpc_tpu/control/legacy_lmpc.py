@@ -65,7 +65,13 @@ class RacingLMPCLegacy:
             verbose=config.verbose, step_mode=config.step_mode,
             q_contour=config.q_contour, q_heading=config.q_heading,
             q_vel=config.q_vel, q_boundary=config.q_boundary,
-            r=r, r_d=tuple(np.zeros(nu * nu)),
+            # the reference's legacy controller has no rate-cost term (rates
+            # are constrained via uip1 only, racing_lmpc.cpp:137-176); the
+            # shared QP kernel carries explicit dU variables, which need
+            # nonzero curvature to keep the Hessian definite — a small
+            # regularization is the numerical equivalent of "no rate cost".
+            r_d=tuple((np.eye(nu) * 1e-2).ravel()),
+            r=r,
             x_max=config.x_max, x_min=config.x_min,
             u_max=config.u_max, u_min=config.u_min,
             learning=False), model)

@@ -5,6 +5,7 @@ from racing_lmpc_tpu.ops.math import (
     align_abscissa,
     lateral_sign,
     global_to_frenet_rotation,
+    norm_2,
     wrap_to_pi,
 )
 from racing_lmpc_tpu.ops.integrators import rk4, euler, c2d, integrate
@@ -16,6 +17,7 @@ __all__ = [
     "align_abscissa",
     "lateral_sign",
     "global_to_frenet_rotation",
+    "norm_2",
     "wrap_to_pi",
     "rk4",
     "euler",

@@ -52,6 +52,15 @@ def lateral_sign(position: Array, pose: Array) -> Array:
     )
 
 
+def norm_2(v: Array) -> Array:
+    """2-norm over the trailing axis, broadcasting over leading batch dims.
+
+    Mirrors ``lmpc::utils::norm_2_function`` (utils.cpp:45-50), which maps a
+    column 2-norm across n vectors; here the map is array broadcasting.
+    """
+    return jnp.sqrt(jnp.sum(jnp.square(v), axis=-1))
+
+
 def global_to_frenet_rotation(p: Array, p0: Array, yaw: Array) -> Array:
     """Rotate point(s) ``p`` into the frame of ``p0`` with heading ``yaw``.
 

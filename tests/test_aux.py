@@ -151,3 +151,52 @@ def test_xprof_trace(tmp_path):
     with XprofTrace(tmp_path):
         jnp.ones(8).sum().block_until_ready()
     assert glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True)
+
+
+def test_norm_2_broadcasts():
+    from racing_lmpc_tpu.ops import norm_2
+    v = jnp.asarray([[3.0, 4.0], [5.0, 12.0]])
+    np.testing.assert_allclose(np.asarray(norm_2(v)), [5.0, 13.0], rtol=1e-6)
+
+
+def test_legacy_lmpc_tracks_centerline(barc_track):
+    """RacingLMPCLegacy (racing_lmpc.cpp parity): a full-dynamics SQP solve
+    on the BARC centerline returns an in-bounds, dynamics-consistent plan."""
+    from racing_lmpc_tpu.control import RacingLMPCLegacy, RacingLMPCLegacyConfig
+
+    base, st = barc_vehicle()
+    model = SingleTrackPlanarModel(base, st)
+    cfg = RacingLMPCLegacyConfig(
+        n=10, margin=0.1, average_track_width=1.0,
+        q_contour=1.0, q_heading=1.0, q_vel=0.2, q_boundary=100.0,
+        r=(0.01, 0.0, 0.0, 0.01),
+        x_max=(np.inf, np.inf, np.inf, 6.0, 1.0, 3.0),
+        x_min=(-np.inf, -np.inf, -np.inf, 0.1, -1.0, -3.0),
+        u_max=(0.01, 0.33), u_min=(-0.01, -0.33),
+        sqp_iters=4)
+    ctrl = RacingLMPCLegacy(cfg, model, barc_track)
+
+    dt, v_ref = 0.025, 1.5
+    s_hor = v_ref * dt * np.arange(cfg.n)
+    X_ref = np.zeros((cfg.n, 6), dtype=np.float32)
+    X_ref[:, 0] = s_hor
+    X_ref[:, 3] = v_ref
+    x_ic = np.array([0.0, 0.05, 0.0, 1.2, 0.0, 0.0], dtype=np.float32)
+    out = ctrl.solve(x_ic, X_ref, np.zeros((cfg.n - 1, 2), np.float32), dt)
+
+    X = np.asarray(out.X_optm)
+    U = np.asarray(out.U_optm)
+    assert np.all(np.isfinite(X)) and np.all(np.isfinite(U))
+    # controls within the box (small tolerance for the QP's soft handling)
+    assert np.all(U[:, 0] <= 0.011) and np.all(U[:, 0] >= -0.011)
+    assert np.all(np.abs(U[:, 1]) <= 0.34)
+    # the reported X is the nonlinear rollout of U (exact dynamics hold)
+    x = jnp.asarray(x_ic)
+    for i in range(cfg.n - 1):
+        k = barc_track.curvature(x[0])
+        x = model.discrete_dynamics(x, jnp.asarray(U[i]), k,
+                                    jnp.asarray(dt, jnp.float32))
+    np.testing.assert_allclose(np.asarray(x), X[-1], atol=1e-5)
+    # it actually tracks: stays within the track and near the reference speed
+    assert np.max(np.abs(X[:, 1])) < 0.5
+    assert abs(X[-1, 3] - v_ref) < 1.0
