@@ -56,10 +56,12 @@ class RegressionSpec(NamedTuple):
 
 
 class ControllerState(NamedTuple):
+    # the solve is warm-started from these shifted trajectories each cycle
+    # (racing_mpc_node.cpp:248-258) — the raw decision vector of the
+    # previous solve is NOT carried (the shifted pack supersedes it)
     last_X: Array    # (N, nx) previous optimal states (shifted each step)
     last_U: Array    # (N-1, nu)
     last_dU: Array   # (N-1, nu)
-    z_warm: Array    # raw scaled decision vector of the previous solve
     lam: Array       # (K,) previous convex combination
 
 
@@ -168,7 +170,7 @@ class MPCController:
             dC=None if regs is None else regs[2])
 
         z_warm = mpc.warm_start_vector(X_ref, U_ref, dU_ref, state.lam)
-        out, z = mpc._solve_impl(inp, z_warm, jnp.asarray(True))
+        out, _ = mpc._solve_impl(inp, z_warm, jnp.asarray(True))
 
         # on failure keep flying the shifted previous plan
         ok = out.solved
@@ -177,8 +179,7 @@ class MPCController:
         new_dU = jnp.where(ok, out.dU_optm, dU_ref)
         new_lam = jnp.where(ok, out.convex_combi, state.lam) \
             if self.config.learning else state.lam
-        new_z = jnp.where(ok, z, z_warm)
-        new_state = ControllerState(new_X, new_U, new_dU, new_z, new_lam)
+        new_state = ControllerState(new_X, new_U, new_dU, new_lam)
 
         u_apply = new_U[self.delay_step]
         x_apply = new_X[self.delay_step]
@@ -214,9 +215,9 @@ class MPCController:
             bound_left=bl, bound_right=br,
             total_length=jnp.asarray(self.track.total_length, dtype=dtype),
             curvatures=curv, vel_ref=vel_ref, ss_x=ss_x, ss_j=ss_j)
-        out, z = mpc.solve_sqp(inp, iters=sqp_iters)
+        out, _ = mpc.solve_sqp(inp, iters=sqp_iters)
         lam = out.convex_combi if self.config.learning else jnp.zeros((0,), dtype=dtype)
-        self.state = ControllerState(out.X_optm, out.U_optm, out.dU_optm, z, lam)
+        self.state = ControllerState(out.X_optm, out.U_optm, out.dU_optm, lam)
         return self.state
 
     def _query_safe_set(self, x_terminal: Array):
@@ -257,9 +258,7 @@ class MPCController:
             s_seed = new_track.nearest_waypoint_abscissa(pose_g[:, :2])
             pose_f = jax.vmap(new_track.global_to_frenet)(pose_g, s_seed)
             X_new = jnp.concatenate([pose_f, X[:, 3:]], axis=-1)
-            z_new = self.mpc.warm_start_vector(
-                X_new, self.state.last_U, self.state.last_dU, self.state.lam)
-            self.state = self.state._replace(last_X=X_new, z_warm=z_new)
+            self.state = self.state._replace(last_X=X_new)
         self.track = new_track
         self._step_jit = jax.jit(self._rti_step)
         self._plant_step = jax.jit(self._composed_step)
@@ -321,17 +320,18 @@ class MPCController:
             return None
         from racing_lmpc_tpu.safeset.safe_set import RegQuery
         nx, nu = self.model.nx, self.model.nu
-        dA = np.zeros((nx, nx)); dB = np.zeros((nx, nu)); dC = np.zeros(nx)
-        for in_x, in_u, out_i in self.regression.groups:
-            qx = np.concatenate([x_np[list(in_x)], u_np[list(in_u)]])
-            res = self.ss_manager.query_regression(RegQuery(
-                x=qx, dist_max=self.regression.dist_max,
-                reg_in_state_idxs=(tuple(in_x),),
-                reg_in_control_idxs=(tuple(in_u),),
-                reg_out_state_idxs=((out_i,),),
-                A=np.zeros((nx, nx)), B=np.zeros((nx, nu)), C=np.zeros(nx),
-                f=lambda x, u, k, dt: self.model.discrete_dynamics(x, u, k, dt)))
-            dA += res.A; dB += res.B; dC += res.C
-        return (jnp.asarray(dA, dtype=jnp.float32),
-                jnp.asarray(dB, dtype=jnp.float32),
-                jnp.asarray(dC, dtype=jnp.float32))
+        groups = self.regression.groups
+        # ONE multi-group query: the group-independent one-step prediction
+        # sweep over the stored laps runs once instead of once per group
+        res = self.ss_manager.query_regression(RegQuery(
+            x=tuple(np.concatenate([x_np[list(in_x)], u_np[list(in_u)]])
+                    for in_x, in_u, _ in groups),
+            dist_max=self.regression.dist_max,
+            reg_in_state_idxs=tuple(tuple(g[0]) for g in groups),
+            reg_in_control_idxs=tuple(tuple(g[1]) for g in groups),
+            reg_out_state_idxs=tuple((g[2],) for g in groups),
+            A=np.zeros((nx, nx)), B=np.zeros((nx, nu)), C=np.zeros(nx),
+            f=lambda x, u, k, dt: self.model.discrete_dynamics(x, u, k, dt)))
+        return (jnp.asarray(res.A, dtype=jnp.float32),
+                jnp.asarray(res.B, dtype=jnp.float32),
+                jnp.asarray(res.C, dtype=jnp.float32))

@@ -73,7 +73,11 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
     finite_l = jnp.isfinite(l)
     finite_u = jnp.isfinite(u)
-    is_eq = finite_l & finite_u & (jnp.abs(u - l) < 1e-9)
+    # relative gap test: the bounds arrive Ruiz-SCALED (rows multiplied by
+    # E in [1e-4, 1e4]); an absolute threshold would silently pin
+    # tight-but-distinct inequalities on small-E rows to their upper bound
+    is_eq = finite_l & finite_u & (
+        jnp.abs(u - l) < 1e-9 * jnp.maximum(1.0, jnp.abs(u) + jnp.abs(l)))
     if eq_rows is not None:
         is_eq = jnp.zeros(m, dtype=bool).at[eq_rows].set(True)
     has_l = finite_l & ~is_eq

@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from racing_lmpc_tpu.ops.pallas_linalg import chol_lower, tri_inv_lower
+
 _RUIZ_ITERS = 10
 _EQ_RHO_SCALE = 1e3
 _MIN_SCALING = 1e-4
@@ -146,7 +148,11 @@ def admm_solve(
     dtype = data.P.dtype
     P, q, A, l, u = data
 
-    eq_row = jnp.isfinite(l) & jnp.isfinite(u) & (jnp.abs(u - l) < 1e-9)
+    # relative gap test: the bounds arrive Ruiz-SCALED (rows multiplied by
+    # E in [1e-4, 1e4]), so an absolute threshold silently reclassifies
+    # tight-but-distinct inequalities on small-E rows as equalities
+    eq_row = jnp.isfinite(l) & jnp.isfinite(u) & (
+        jnp.abs(u - l) < 1e-9 * jnp.maximum(1.0, jnp.abs(u) + jnp.abs(l)))
     I_n = jnp.eye(n, dtype=dtype)
 
     x = jnp.zeros(n, dtype=dtype) if x0 is None else x0
@@ -160,13 +166,16 @@ def admm_solve(
         x, z, y, rho_s = carry
         rho_vec = jnp.where(eq_row, rho_s * _EQ_RHO_SCALE, rho_s).astype(dtype)
         H = P + sigma * I_n + (A.T * rho_vec) @ A
-        L = jnp.linalg.cholesky(H)
+        # in-house blocked Cholesky + explicit triangular inverse: the XLA
+        # cholesky/triangular_solve custom calls are layout-sensitive on TPU
+        # (~60x slowdowns profiled; see ops/pallas_linalg.py) — every
+        # iteration's KKT solve becomes two matmuls on the MXU instead
+        Li = tri_inv_lower(chol_lower(H))
 
         def body(_, st):
             x, z, y = st
             rhs = sigma * x - q + A.T @ (rho_vec * z - y)
-            t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-            x_t = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+            x_t = Li.T @ (Li @ rhs)
             z_t = A @ x_t
             x_n = alpha * x_t + (1.0 - alpha) * x
             z_a = alpha * z_t + (1.0 - alpha) * z
@@ -218,30 +227,32 @@ def polish(data: QPData, x: Array, y: Array, delta: float = 1e-6,
 
     act = active.astype(dtype)
     A_act = A * act[:, None]
-    # KKT with -delta on active duals (regularization) and identity rows for
-    # inactive duals:
-    K = jnp.block([
-        [P + delta * jnp.eye(n, dtype=dtype), A_act.T],
-        [A_act, -jnp.diag(jnp.where(active, delta, 1.0).astype(dtype))],
-    ])
-    rhs = jnp.concatenate([-q, b])
-    lu, piv = jax.scipy.linalg.lu_factor(K)
-    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    # Quasi-definite KKT  [[P + dI, Aact'], [Aact, -delta on active duals]]
+    # eliminated to its SPD penalty form: the active-dual rows give
+    # y = (Aact x - b) / delta, so
+    #     (P + dI + Aact' (1/delta) Aact) x = -q + Aact' b / delta.
+    # Solved with the in-house pivot-free blocked Cholesky — the pivoted-LU
+    # custom call of the full KKT costs ~ms per dispatch under TPU's
+    # batch-minormost layouts (see ops/pallas_linalg.py).
+    Dp = jnp.where(active, 1.0 / delta, 0.0).astype(dtype)
+    H = P + delta * jnp.eye(n, dtype=dtype) + (A_act.T * Dp) @ A_act
+    # Jacobi pre-scaling: the 1/delta penalty puts a ~1e6 spread on diag(H),
+    # at the edge of f32 Cholesky breakdown — normalize to unit diagonal
+    # first (same device as mpc/ipm.py's make_solver)
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
+    Li = tri_inv_lower(chol_lower(H * s[:, None] * s[None, :])) * s[None, :]
 
-    # iterative refinement against the UNregularized KKT operator
-    def kkt_mv(v):
-        vx, vy = v[:n], v[n:]
-        top = P @ vx + A_act.T @ vy
-        bot = A_act @ vx - jnp.where(active, 0.0, 1.0) * vy
-        return jnp.concatenate([top, bot])
+    def hsolve(r):
+        return Li.T @ (Li @ r)
 
-    def refine(_, s):
-        r = rhs - kkt_mv(s)
-        return s + jax.scipy.linalg.lu_solve((lu, piv), r)
+    rhs = -q + A_act.T @ (Dp * b)
+    x_pol = hsolve(rhs)
 
-    sol = jax.lax.fori_loop(0, refine_steps, refine, sol)
-    x_pol = sol[:n]
-    y_pol = jnp.where(active, sol[n:], 0.0)
+    def refine(_, xc):
+        return xc + hsolve(rhs - H @ xc)
+
+    x_pol = jax.lax.fori_loop(0, refine_steps, refine, x_pol)
+    y_pol = jnp.where(active, Dp * (A @ x_pol - b), 0.0)
 
     # accept polish only if it improves the full KKT residual including
     # complementarity/dual-sign violation — stationarity alone can hold for a
@@ -283,7 +294,8 @@ def solve_qp(
 def _solve_qp_inner(data, iters, rho, sigma, alpha, do_polish, x0, y0):
     sdata, (D, E, c) = ruiz_equilibrate(data)
     x0s = None if x0 is None else x0 / D
-    y0s = None if y0 is None else y0 * E * c
+    # inverse of the unscale map y = ys * E / c below
+    y0s = None if y0 is None else y0 * c / E
     xs, zs, ys = admm_solve(sdata, iters=iters, rho=rho, sigma=sigma,
                             alpha=alpha, x0=x0s, y0=y0s)
     if do_polish:

@@ -496,12 +496,30 @@ class RacingMPC:
             sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows,
                               struct=self.qp_struct)
         else:
-            x0 = jnp.where(warm_valid, z_warm, jnp.zeros_like(z_warm))
+            # warm_start_vector packs scaled controls ubar; the decision
+            # variable under feedback-pre-stabilized condensing is v with
+            # ubar = MU v + mu0, so map the pack through MU^-1 (MU is
+            # block-unit-lower-triangular: ubar_i = v_i - K_i x_i(v_{<i})).
+            # Without this the seed is wrong exactly where the gains are
+            # large — the low-speed operating points pre-stabilization
+            # exists for.
+            from racing_lmpc_tpu.ops.pallas_linalg import tri_inv_lower
+            _, _, MU, mu0, _, _ = aux
+            L = self.layout
+            v0 = tri_inv_lower(MU) @ (z_warm[:L.nuu] - mu0)
+            x0 = jnp.where(warm_valid, z_warm.at[:L.nuu].set(v0),
+                           jnp.zeros_like(z_warm))
             sol = solve_qp(
                 data, iters=cfg.qp_iters, rho=cfg.qp_rho, sigma=cfg.qp_sigma,
                 alpha=cfg.qp_alpha, do_polish=cfg.qp_polish, x0=x0)
         out = self._extract(sol, data, aux)
-        return out, sol.x
+        # the returned warm-start vector carries SCALED CONTROLS (ubar =
+        # U/su) in the leading block — the same space warm_start_vector
+        # packs — so feeding it back to solve() is consistent regardless of
+        # the per-solve pre-stabilization gains baked into v
+        su = jnp.asarray(self.scale_u, dtype=sol.x.dtype)
+        z_ret = sol.x.at[:self.layout.nuu].set((out.U_optm / su).ravel())
+        return out, z_ret
 
     def _extract(self, sol: QPSolution, data: QPData, aux) -> MPCOutput:
         L = self.layout
@@ -526,8 +544,9 @@ class RacingMPC:
 
     # ------------------------------------------------------------------
     def solve(self, inp: MPCInput, z_warm: Array | None = None) -> tuple[MPCOutput, Array]:
-        """One RTI solve.  Returns (output, raw scaled solution vector for
-        warm-starting the next call)."""
+        """One RTI solve.  Returns (output, warm-start vector for the next
+        call — scaled controls ubar in the leading block, matching
+        warm_start_vector's packing)."""
         if z_warm is None:
             z_warm = jnp.zeros((self.layout.n,), dtype=inp.x_ic.dtype)
             valid = jnp.asarray(False)
@@ -599,6 +618,12 @@ class RacingMPC:
         """
         N = self.N
         nx, nu = self.nx, self.nu
+        # fail loudly at the call site instead of seeding the QP with
+        # inf/NaN (the reference throws range_error, racing_mpc.cpp:391-396)
+        if not current_vel > 0.0:
+            raise ValueError(f"current_vel must be positive, got {current_vel}")
+        if not target_vel > 0.0:
+            raise ValueError(f"target_vel must be positive, got {target_vel}")
         m_total = self.model.base_config.chassis.total_mass
         wheel_base = self.model.base_config.chassis.wheel_base
         X_ref = np.zeros((N, nx))
@@ -612,6 +637,8 @@ class RacingMPC:
         T_ref = np.zeros(N - 1)
         for i in range(N - 1):
             d = float(np.hypot(*(np.asarray(P0)[i] - np.asarray(P0)[i + 1])))
+            if not d > 0.0:
+                raise ValueError(f"coincident warm-start waypoints at {i}")
             a = (vels[i + 1] ** 2 - vels[i] ** 2) / (2 * d)
             fo = m_total * a
             steer = float(np.arctan(wheel_base / np.asarray(Radii)[i]))

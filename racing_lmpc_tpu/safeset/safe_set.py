@@ -104,7 +104,6 @@ class SafeSetManager:
         self.k_raw = np.zeros((max_laps, pad_len), dtype=np.float32)
         self.dt_raw = np.zeros((max_laps, pad_len), dtype=np.float32)
         self.valid_raw = np.zeros((max_laps, pad_len), dtype=bool)
-        self.lap_lengths: list[int] = []
         self._next_slot = 0
         self.num_laps = 0
         # slot order, newest first
@@ -214,10 +213,25 @@ class SafeSetManager:
         """Local error-dynamics regression (SafeSetManager::query(RegQuery),
         safe_set.cpp:182-245).
 
-        NOTE sign convention replicated from the reference: the solved
-        correction is R = -(M'KM + 1e-3 I)^{-1} M'K y with
-        y = x+_data - x+_pred, added to (A, B, C) — i.e. the reference adds
-        the NEGATED weighted-least-squares fit (safe_set.cpp:231-243).
+        Each group fits the one-step prediction error of its OUTPUT state
+        ``y = x+_data[out] - f(x, u)[out]`` from the selected (state,
+        control) features — arXiv:2309.10716 §III-B.  ``query.x`` may be a
+        single query point shared by all groups or a per-group sequence.
+
+        Data alignment: recorded pairs are (x_i, u_i) with u_i the control
+        that PRODUCED x_i (both the reference node, racing_mpc.cpp:246, and
+        the runner record the incoming ``u_ic``), so the control applied
+        during [t_i, t_{i+1}) is u_{i+1} — the prediction and the features
+        use the successor control.
+
+        Sign convention — deliberate delta from the reference: the
+        reference (dead code, never called by its controllers) adds the
+        NEGATED fit ``R = -(M'KM + 1e-3 I)^{-1} M'K y``
+        (safe_set.cpp:231-243), which pairs with its NEGATIVE backward-
+        difference dt storage (safe_set.cpp:129-135).  This store keeps
+        positive forward-difference dt (see add_lap), so the correction is
+        the POSITIVE fit: corrected model x+ = f(x, u) + fit(x, u) — gated
+        by the planted-error recovery test.
         """
         A = np.array(query.A, dtype=np.float64, copy=True)
         B = np.array(query.B, dtype=np.float64, copy=True)
@@ -228,14 +242,26 @@ class SafeSetManager:
         slots = self._order
         valid = self.valid_raw[slots]              # (L, P)
         x_all = self.x_raw[slots].astype(np.float64)
-        u_all = self.u_raw[slots].astype(np.float64)
+        u_next = np.roll(self.u_raw[slots], -1, axis=1).astype(np.float64)
         k_all = self.k_raw[slots].astype(np.float64)
         dt_all = self.dt_raw[slots].astype(np.float64)
-        # a point is usable if it AND its successor are valid (xip1 exists)
+        xip1_all = np.roll(x_all, -1, axis=1)
+        # a point is usable if it AND its successor are valid (xip1, u_next)
         has_next = np.zeros_like(valid)
         has_next[:, :-1] = valid[:, :-1] & valid[:, 1:]
 
-        for gi in range(len(query.reg_out_state_idxs)):
+        # one-step prediction at the stored points — group-independent,
+        # computed ONCE per query (not per group)
+        f_pred = np.asarray(jax.vmap(query.f)(
+            jnp.asarray(x_all.reshape(-1, self.nx), dtype=jnp.float32),
+            jnp.asarray(u_next.reshape(-1, self.nu), dtype=jnp.float32),
+            jnp.asarray(k_all.reshape(-1), dtype=jnp.float32),
+            jnp.asarray(dt_all.reshape(-1), dtype=jnp.float32),
+        ), dtype=np.float64).reshape(x_all.shape)
+
+        n_groups = len(query.reg_out_state_idxs)
+        per_group_x = isinstance(query.x, (list, tuple))
+        for gi in range(n_groups):
             in_x = list(query.reg_in_state_idxs[gi])
             in_u = list(query.reg_in_control_idxs[gi])
             out_i = list(query.reg_out_state_idxs[gi])
@@ -243,22 +269,15 @@ class SafeSetManager:
                 raise ValueError(
                     "Only one state variable is supported in every regression")
             xs = x_all[:, :, in_x]
-            us = u_all[:, :, in_u]
-            xip1 = np.roll(x_all, -1, axis=1)[:, :, in_x]
+            us = u_next[:, :, in_u]
             z = np.concatenate([xs, us], axis=-1)          # (L, P, d)
+            qx = query.x[gi] if per_group_x else query.x
             dists = np.sqrt(np.sum(
-                (z - np.asarray(query.x, dtype=np.float64)) ** 2, axis=-1))
+                (z - np.asarray(qx, dtype=np.float64)) ** 2, axis=-1))
             mask = has_next & (dists < query.dist_max)
             if not mask.any():
                 continue
-            # one-step prediction at the stored points
-            f_pred = np.asarray(jax.vmap(query.f)(
-                jnp.asarray(x_all.reshape(-1, self.nx), dtype=jnp.float32),
-                jnp.asarray(u_all.reshape(-1, self.nu), dtype=jnp.float32),
-                jnp.asarray(k_all.reshape(-1), dtype=jnp.float32),
-                jnp.asarray(dt_all.reshape(-1), dtype=jnp.float32),
-            ), dtype=np.float64).reshape(x_all.shape)
-            y = (xip1[..., 0] - f_pred[:, :, in_x][..., 0])   # (L, P)
+            y = xip1_all[:, :, out_i[0]] - f_pred[:, :, out_i[0]]  # (L, P)
             K = np.where(
                 mask,
                 0.75 / query.dist_max
@@ -270,7 +289,7 @@ class SafeSetManager:
             Kf = K.reshape(-1)
             yf = y.reshape(-1)
             Q = Mf.T @ (Kf[:, None] * Mf) + 1e-3 * np.eye(Mf.shape[1])
-            b = -Mf.T @ (Kf * yf)
+            b = Mf.T @ (Kf * yf)
             R = np.linalg.solve(Q, b)
             nsx = len(in_x)
             A[np.ix_(out_i, in_x)] += R[:nsx]

@@ -145,17 +145,21 @@ def test_regression_matches_reference_formula(loaded_manager):
     assert (out.B != B0)[3, 0]
     assert out.C[3] != 0.0
 
-    # direct transcription on valid points
-    T = x.shape[0]
+    # direct transcription on valid points: stored u_i produced x_i, so the
+    # control applied during [t_i, t_{i+1}) is u_{i+1} (prediction AND
+    # features use the successor control), and the residual is on the
+    # OUTPUT state
     dt = np.concatenate([np.diff(t), [t[-1] - t[-2]]])
     import jax
     f_pred = np.asarray(jax.vmap(model.discrete_dynamics)(
-        jnp.asarray(x, dtype=jnp.float32), jnp.asarray(u, dtype=jnp.float32),
-        jnp.asarray(k, dtype=jnp.float32), jnp.asarray(dt, dtype=jnp.float32)))
+        jnp.asarray(x[:-1], dtype=jnp.float32),
+        jnp.asarray(u[1:], dtype=jnp.float32),
+        jnp.asarray(k[:-1], dtype=jnp.float32),
+        jnp.asarray(dt[:-1], dtype=jnp.float32)))
     xs = x[:-1, 3]
-    us = u[:-1, 0]
+    us = u[1:, 0]
     xip1 = x[1:, 3]
-    pred = f_pred[:-1, 3]
+    pred = f_pred[:, 3]
     z = np.stack([xs, us], axis=-1)
     d = np.sqrt(np.sum((z - q_pt) ** 2, axis=-1))
     mask = d < 0.5
@@ -163,8 +167,59 @@ def test_regression_matches_reference_formula(loaded_manager):
     M = np.stack([xs, us, np.ones_like(xs)], axis=-1)
     y = xip1 - pred
     Q = M.T @ (Kw[:, None] * M) + 1e-3 * np.eye(3)
-    b = -M.T @ (Kw * y)
+    b = M.T @ (Kw * y)
     R = np.linalg.solve(Q, b)
     assert np.isclose(out.A[3, 3] - 1.0, R[0], rtol=1e-3, atol=1e-5)
     assert np.isclose(out.B[3, 0], R[1], rtol=1e-3, atol=1e-5)
     assert np.isclose(out.C[3], R[2], rtol=1e-3, atol=1e-5)
+
+
+def test_regression_recovers_planted_error_dynamics():
+    """Ground-truth gate for row/alignment/sign: generate a lap from a known
+    model plus a planted linear error on ONE output row, store it exactly as
+    the recorder does (x_i paired with the control that produced it), and
+    check the regression recovers the planted (dA, dB, dC) on that row."""
+    rng = np.random.default_rng(0)
+    nx, nu = 3, 1
+    dt = 0.05
+
+    Ap = np.array([[1.0, dt, 0.0], [0.0, 0.95, dt], [0.0, 0.0, 0.9]])
+    Bp = np.array([[0.0], [0.0], [dt * 2.0]])
+
+    def f(x, u, k, dtv):
+        return jnp.asarray(Ap, dtype=x.dtype) @ x \
+            + jnp.asarray(Bp, dtype=x.dtype) @ u
+
+    # planted error on OUTPUT row 1 from features (x1, x2, u0)
+    dA_true = np.array([0.03, -0.02])     # on x[1], x[2]
+    dB_true = np.array([0.05])
+    dC_true = 0.01
+
+    T = 220
+    xs = np.zeros((T, nx)); us_applied = np.zeros((T - 1, nu))
+    xs[0] = [0.0, 0.4, 0.1]
+    for i in range(T - 1):
+        us_applied[i] = 0.3 * np.sin(0.11 * i) + 0.05 * rng.standard_normal()
+        xn = Ap @ xs[i] + Bp @ us_applied[i]
+        xn[1] += (dA_true @ xs[i, 1:3] + dB_true @ us_applied[i] + dC_true)
+        xs[i + 1] = xn
+
+    # recorder convention: u stored at i is the control that PRODUCED x_i
+    u_store = np.zeros((T, nu))
+    u_store[1:] = us_applied
+    mgr = SafeSetManager(max_laps=1, nx=nx, nu=nu, pad_len=256,
+                         use_native=False)
+    mgr.add_lap(xs, u_store, np.zeros(T), dt * np.arange(T), 100.0)
+
+    out = mgr.query_regression(RegQuery(
+        x=np.array([0.0, 0.0, 0.0]), dist_max=10.0,
+        reg_in_state_idxs=[[1, 2]], reg_in_control_idxs=[[0]],
+        reg_out_state_idxs=[[1]],
+        A=Ap.copy(), B=Bp.copy(), C=np.zeros(nx), f=f))
+
+    np.testing.assert_allclose(out.A[1, 1:3] - Ap[1, 1:3], dA_true, atol=5e-3)
+    np.testing.assert_allclose(out.B[1, 0] - Bp[1, 0], dB_true[0], atol=5e-3)
+    assert abs(out.C[1] - dC_true) < 5e-3
+    # untouched rows stay nominal
+    np.testing.assert_allclose(out.A[0], Ap[0], atol=1e-12)
+    np.testing.assert_allclose(out.A[2], Ap[2], atol=1e-12)
