@@ -152,6 +152,31 @@ class VehicleModel:
         return Jx, Ju
 
     # -- MPC constraint data -------------------------------------------------
+    def cost_state_indices(self) -> dict:
+        """Where contour / heading / velocity / vy / vyaw live in THIS
+        model's state layout, for the MPC stage cost (the reference instead
+        evaluates the cost on ``to_base_state(x)`` inside the NLP,
+        racing_mpc.cpp:442-477 — the QP equivalent is weighting the model
+        coordinate that carries the same quantity).  Default covers layouts
+        that share the base-state prefix (PX, PY, YAW, ...): single-track
+        (VX, VY, VYAW tail) and kinematic bicycle (V last)."""
+        nx = self.nx
+        return {
+            "contour": int(BaseXIndex.PY),
+            "heading": int(BaseXIndex.YAW),
+            "vel": int(BaseXIndex.VX) if nx == 6 else nx - 1,
+            "vy": int(BaseXIndex.VY) if nx == 6 else None,
+            "vyaw": int(BaseXIndex.VYAW) if nx == 6 else None,
+        }
+
+    def state_scales(self):
+        """Optional per-model override of the MPC's fixed diagonal state
+        scaling (racing_mpc.cpp:36: per-QUANTITY values px 2000, py 10,
+        yaw 0.1, vx 80, vy 2, vyaw 2).  Return None to use the positional
+        default; models whose state ORDER differs (double-track) return the
+        permuted vector."""
+        return None
+
     def control_bounds(self) -> BoxBounds:
         raise NotImplementedError
 

@@ -58,6 +58,25 @@ class DoubleTrackPlanarModel(VehicleModel):
     def nu(self) -> int:
         return 3
 
+    def cost_state_indices(self) -> dict:
+        """This layout is (PX, PY, YAW, VYAW, SLIP, V): velocity magnitude
+        V carries the q_vel weight (== base VX to first order in slip), VYAW
+        carries q_vyaw, and there is no lateral-velocity coordinate (slip
+        angle is left unweighted, as the base default would otherwise tax
+        the wrong state)."""
+        return {
+            "contour": int(DtXIndex.PY),
+            "heading": int(DtXIndex.YAW),
+            "vel": int(DtXIndex.V),
+            "vy": None,
+            "vyaw": int(DtXIndex.VYAW),
+        }
+
+    def state_scales(self):
+        """Per-quantity scales permuted into the (.., VYAW, SLIP, V) order
+        (slip is an angle -> yaw-class scale)."""
+        return np.array([2000.0, 10.0, 0.1, 2.0, 0.1, 80.0])
+
     # ------------------------------------------------------------------
     def forces_given_gamma(self, x: Array, u: Array, gamma_y: Array):
         """Per-wheel (FL, FR, RL, RR) forces given the load transfer.

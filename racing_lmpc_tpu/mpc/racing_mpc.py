@@ -177,16 +177,28 @@ class RacingMPC:
             has_hull_slack=self.has_hull_slack,
             learning=bool(config.learning))
 
-        self.scale_x = np.asarray(_SCALE_X6[:nx] if nx <= 6 else np.ones(nx))
+        # fixed diagonal scaling (racing_mpc.cpp:36-37); models whose state
+        # order differs from the base layout provide their own permutation
+        scale_override = model.state_scales()
+        self.scale_x = (np.asarray(scale_override)
+                        if scale_override is not None
+                        else np.asarray(_SCALE_X6[:nx] if nx <= 6
+                                        else np.ones(nx)))
         self.scale_u = np.asarray(_SCALE_U2 if nu == 2 else _SCALE_U3[:nu])
         self.hull_w = hull_w if self.has_hull_slack else np.zeros(nx)
 
-        # stage cost index map: which state component carries which weight.
-        self.idx_contour = int(BaseXIndex.PY) if nx >= 2 else 1
-        self.idx_heading = int(BaseXIndex.YAW)
-        self.idx_vel = int(BaseXIndex.VX) if nx == 6 else nx - 1
-        self.idx_vy = int(BaseXIndex.VY) if nx == 6 else None
-        self.idx_vyaw = int(BaseXIndex.VYAW) if nx == 6 else None
+        # stage cost index map: which MODEL-state component carries which
+        # weight.  The reference evaluates the cost on `to_base_state(x)`
+        # inside the NLP (racing_mpc.cpp:442-477); in the condensed QP the
+        # cost is quadratic in the model state, so each model declares where
+        # contour/heading/velocity live in ITS layout (double-track orders
+        # (.., VYAW, SLIP, V), not (.., VX, VY, VYAW)).
+        ci = model.cost_state_indices()
+        self.idx_contour = ci["contour"]
+        self.idx_heading = ci["heading"]
+        self.idx_vel = ci["vel"]
+        self.idx_vy = ci["vy"]
+        self.idx_vyaw = ci["vyaw"]
 
         self.R = config.R(nu)
         self.R_d = config.R_d(nu)
