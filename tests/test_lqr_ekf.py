@@ -86,6 +86,83 @@ def test_lqr_exact_tracking_from_reference_start(model):
     assert np.abs(np.asarray(sol.X_optm - X_ref)).max() < 0.05
 
 
+def test_lqr_mgkt_turn_golden_fixture():
+    """Replicates the reference's only LQR fixture (test_racing_lqr.cpp:63-127):
+    the go-kart-scale vehicle (sample_vehicle_2) tracking the first second of
+    an offline-optimized mgkt turn-4 trajectory (test_data/{x,u,t}_optm.txt),
+    resampled to the N=51 / dt=0.02 horizon of sample_lqr_2.param.yaml, from
+    an initial state perturbed by (+1.0 m, +0.3 m, +0.01 rad)."""
+    from racing_lmpc_tpu.config import DATA_DIR
+
+    p = load_ros_params(
+        PARAM_DIR / "sample_vehicle_2_base.param.yaml",
+        PARAM_DIR / "sample_vehicle_2_single_track.param.yaml")
+    base = vehicle_config_from_params(p)
+    base = type(base)(**{**base.__dict__,
+                         "modeling": type(base.modeling)(
+                             use_frenet=False, integrator_type="rk4",
+                             sample_throttle=base.modeling.sample_throttle)})
+    st = single_track_config_from_params(p, simplify_lon_control=False)
+    gokart = SingleTrackPlanarModel(base, st)
+
+    cfg = lqr_config_from_params(
+        load_ros_params(PARAM_DIR / "sample_lqr_2.param.yaml"))
+    assert cfg.n == 51 and abs(cfg.dt - 0.02) < 1e-12
+    lqr = RacingLQR(cfg, gokart)
+
+    lqr_dir = DATA_DIR / "lqr"
+    X_optm = np.loadtxt(lqr_dir / "x_optm.txt")          # (19, 6)
+    U_optm = np.loadtxt(lqr_dir / "u_optm.txt")[:, :3]   # (18, 3): FD, FB, STEER
+    T_optm = np.loadtxt(lqr_dir / "t_optm.txt")          # (18,) durations
+    t_knots = np.concatenate([[0.0], np.cumsum(T_optm)])
+
+    # x_optm rows are (PX, PY, YAW, VYAW, SLIP, V) — the offline optimizer's
+    # parametrization (cross-checked against mgkt_turn_4.txt: column 6 is the
+    # ~19.3 m/s turn speed).  The reference test feeds them POSITIONALLY into
+    # the single-track state (test_racing_lqr.cpp:75,102), silently tracking
+    # vx = 0.35 m/s — harmless there because it asserts nothing.  Convert to
+    # the single-track layout (PX, PY, YAW, VX, VY, VYAW) so the tracking
+    # assertions below are physically meaningful.
+    vyaw, slip, v = X_optm[:, 3], X_optm[:, 4], X_optm[:, 5]
+    X_optm = np.stack([X_optm[:, 0], X_optm[:, 1], X_optm[:, 2],
+                       v * np.cos(slip), v * np.sin(slip), vyaw], axis=1)
+
+    # resample onto the horizon exactly as the reference test does
+    t_intp = np.linspace(0.0, 1.0, cfg.n)
+    X_ref = np.stack([np.interp(t_intp, t_knots, X_optm[:, j])
+                      for j in range(6)], axis=1)
+    U_ref = np.stack([np.interp(t_intp[:-1], t_knots[:-1], U_optm[:, j])
+                      for j in range(3)], axis=1)
+
+    pert = np.asarray([1.0, 0.3, 0.01, 0.0, 0.0, 0.0])
+    sol0 = lqr.solve(X_ref[0], X_ref, U_ref)           # nominal rollout
+    sol = lqr.solve(X_ref[0] + pert, X_ref, U_ref)     # perturbed IC
+
+    X0 = np.asarray(sol0.X_optm)
+    X = np.asarray(sol.X_optm)
+    assert np.all(np.isfinite(X)) and np.all(np.isfinite(np.asarray(sol.U_optm)))
+    # Compare perturbed vs NOMINAL closed-loop rollouts (the fixture data is
+    # only approximately consistent with this model, so comparing against
+    # X_ref directly would measure model-data mismatch, not the feedback).
+    # With q_pos = 1 vs r = 0.01 on drive forces of O(100 N), longitudinal
+    # error is deliberately cheap to leave; the LATERAL error (closed by
+    # steering, which is O(0.05 rad)) must contract.
+    diff = X - X0
+    yaw0 = X0[:, 2]
+    lat = -np.sin(yaw0) * diff[:, 0] + np.cos(yaw0) * diff[:, 1]
+    assert abs(lat[-1]) < 0.5 * abs(lat[0])
+    # closed-loop stability: the perturbation never amplifies
+    pos_dev = np.linalg.norm(diff[:, :2], axis=1)
+    assert pos_dev.max() < 1.2 * pos_dev[0]
+    # the rollout is an exact RK4 trajectory of the nonlinear model
+    from racing_lmpc_tpu.ops.integrators import rk4
+    x1 = rk4(gokart.dynamics, jnp.asarray(X[0]), sol.U_optm[0],
+             jnp.zeros(()), jnp.asarray(cfg.dt))
+    assert np.allclose(np.asarray(x1), X[1], atol=1e-4)
+    # speed stays in the physical go-kart envelope while tracking a ~19 m/s turn
+    assert 5.0 < X[:, 3].min() and X[:, 3].max() < 30.0
+
+
 def test_lqr_batched(model):
     p = load_ros_params(PARAM_DIR / "sample_lqr.param.yaml")
     cfg = lqr_config_from_params(p)
