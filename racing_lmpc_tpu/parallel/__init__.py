@@ -1,4 +1,5 @@
-"""Multi-chip scaling: mesh construction and scenario-batch sharding."""
+"""Multi-chip scaling: mesh construction, scenario-batch sharding, and the
+multi-host (`jax.distributed`) runtime."""
 
 from racing_lmpc_tpu.parallel.mesh import (
     make_mesh,
@@ -6,5 +7,7 @@ from racing_lmpc_tpu.parallel.mesh import (
     replicate,
     sharded_batch_solver,
 )
+from racing_lmpc_tpu.parallel import distributed
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "sharded_batch_solver"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "sharded_batch_solver",
+           "distributed"]

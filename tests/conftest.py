@@ -18,6 +18,16 @@ import jax  # noqa: E402
 # time; force it back so tests run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite jits a few hundred programs (many
+# of them large vmapped IPM solves); cold compiles dominate wall time.  With
+# a warm cache the full suite drops from ~1 h to minutes.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

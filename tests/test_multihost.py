@@ -1,0 +1,51 @@
+"""True multi-process `jax.distributed` test: two worker processes (2 virtual
+CPU devices each) form a 4-device global mesh, solve a sharded LMPC scenario
+batch with cross-process collectives (gloo), and must agree on the result.
+
+This exercises the multi-host runtime path (`parallel/distributed.py`) that
+scales the engine past one host — the role the ROS2 process topology plays
+in the reference (SURVEY.md section 2.7), rebuilt as the single-controller
+JAX multi-process model.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "multihost_worker.py")
+
+
+def test_two_process_distributed_solve():
+    port = 23000 + os.getpid() % 2000
+    env = dict(os.environ)
+    # the workers configure JAX_PLATFORMS/XLA_FLAGS themselves
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=840)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    checks = [re.search(r"MULTIHOST_OK pid=\d+ solved=([\d.]+) "
+                        r"checksum=(-?[\d.]+)", out) for out in outs]
+    for pid, m in enumerate(checks):
+        assert m, f"worker {pid} printed no MULTIHOST_OK:\n{outs[pid]}"
+    # both processes must observe the same global reduction and solution
+    assert checks[0].group(1) == checks[1].group(1)
+    assert checks[0].group(2) == checks[1].group(2)
