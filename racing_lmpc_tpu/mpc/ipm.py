@@ -90,6 +90,53 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     eq = is_eq.astype(dtype)
     A_eq = A * eq[:, None]
 
+    # --- structured matvecs -------------------------------------------
+    # The MPC QP's rows are three contiguous blocks (RacingMPC.qp_struct):
+    # dense rows touching only the leading nc columns, one-hot lambda rows,
+    # and the equality rows.  Exploiting that turns every (m, n) matvec on
+    # the iteration path into an (md, nc) matvec + an elementwise product —
+    # ~2.6x less HBM traffic per product, numerically identical (the
+    # dropped terms are exact zeros).  Falls back to dense A when the
+    # contiguity invariants don't hold (generic callers).
+    Amv = lambda x: A @ x                                    # noqa: E731
+    ATmv = lambda w: A.T @ w                                 # noqa: E731
+    if struct is not None and eq_rows is not None:
+        _dr, _nc, _dgr, _dgc = (np.asarray(struct[0]), int(struct[1]),
+                                np.asarray(struct[2]), np.asarray(struct[3]))
+        _md, _Kd = len(_dr), len(_dgr)
+        _er = np.asarray(eq_rows)
+        _me = len(_er)
+        _lam0 = int(_dgc[0]) if _Kd else 0
+        _contig = (
+            np.array_equal(_dr, np.arange(_md))
+            and np.array_equal(_dgr, np.arange(_md, _md + _Kd))
+            and np.array_equal(_er, np.arange(_md + _Kd, _md + _Kd + _me))
+            and _md + _Kd + _me == m
+            and (not _Kd or np.array_equal(_dgc, _lam0 + np.arange(_Kd))))
+        if _contig:
+            Ad_mv = A[:_md, :_nc]
+            adiag_mv = A[_dgr, _dgc] if _Kd else None
+            Ae_mv = A[_md + _Kd:]
+
+            def Amv(x):                                      # noqa: F811
+                parts = [Ad_mv @ x[:_nc]]
+                if _Kd:
+                    parts.append(adiag_mv * jax.lax.dynamic_slice(
+                        x, (_lam0,), (_Kd,)))
+                if _me:
+                    parts.append(Ae_mv @ x)
+                return jnp.concatenate(parts)
+
+            def ATmv(w):                                     # noqa: F811
+                out = jnp.zeros((n,), dtype=dtype).at[:_nc].set(
+                    Ad_mv.T @ w[:_md])
+                if _Kd:
+                    out = out.at[_lam0:_lam0 + _Kd].add(
+                        adiag_mv * w[_md:_md + _Kd])
+                if _me:
+                    out = out + Ae_mv.T @ w[_md + _Kd:]
+                return out
+
     I_n = jnp.eye(n, dtype=dtype)
     # trivial rows (nu_i = 0) for non-equality rows keep the KKT full-rank
     kkt_22 = -jnp.diag(jnp.where(is_eq, delta, 1.0).astype(dtype))
@@ -222,7 +269,7 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
     # -- starting point --------------------------------------------------
     x = jnp.zeros(n, dtype=dtype)
-    f = A @ x
+    f = Amv(x)
     s_l = jnp.where(has_l, jnp.maximum(f - l_safe, 1.0), 1.0)
     s_u = jnp.where(has_u, jnp.maximum(u_safe - f, 1.0), 1.0)
     z_l = jnp.where(has_l, 1.0, 0.0).astype(dtype)
@@ -239,19 +286,18 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         return (jnp.max(jnp.abs(r_x)) + jnp.max(jnp.abs(r_eq)) + rp + mu), mu
 
     def merit_of(x, s_l, s_u, z_l, z_u, y_eq):
-        f = A @ x
-        r_x = P @ x + q + A_eq.T @ jnp.where(is_eq, y_eq, 0.0) \
-            + A.T @ (z_u - z_l)
+        f = Amv(x)
+        # eq-dual and inequality-dual supports are disjoint -> one matvec
+        r_x = P @ x + q + ATmv(jnp.where(is_eq, y_eq, 0.0) + z_u - z_l)
         r_eq = jnp.where(is_eq, f - b_eq, 0.0)
         merit, _ = merit_parts(f, r_x, r_eq, s_l, s_u, z_l, z_u)
         return merit
 
     def step(carry, _):
         x, s_l, s_u, z_l, z_u, y_eq, reg, best, best_merit = carry
-        f = A @ x
-        # residuals
-        r_x = P @ x + q + A_eq.T @ jnp.where(is_eq, y_eq, 0.0) \
-            + A.T @ (z_u - z_l)
+        f = Amv(x)
+        # residuals (eq-dual / inequality-dual supports are disjoint)
+        r_x = P @ x + q + ATmv(jnp.where(is_eq, y_eq, 0.0) + z_u - z_l)
         r_eq = jnp.where(is_eq, f - b_eq, 0.0)
         # slack consistency residuals (s must track f - l / u - f)
         r_sl = jnp.where(has_l, f - l_safe - s_l, 0.0)
@@ -285,10 +331,10 @@ def _ipm_core(data: QPData, iters: int, delta: float,
             w = (comp_l / jnp.maximum(s_l, _EPS) * has_l
                  - comp_u / jnp.maximum(s_u, _EPS) * has_u
                  + d_l * r_sl - d_u * r_su)
-            r1 = -(r_x + A.T @ w)
+            r1 = -(r_x + ATmv(w))
             r2 = -r_eq
             dx, dy = solve(r1, r2, refine)
-            df = A @ dx
+            df = Amv(dx)
             ds_l = jnp.where(has_l, df + r_sl, 0.0)
             ds_u = jnp.where(has_u, -df + r_su, 0.0)
             dz_l = jnp.where(
@@ -372,19 +418,19 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     rho = jnp.asarray(1e5, dtype)
     D_pol = jnp.where(active, rho, 0.0)
     solve_pol = make_solver(D_pol)
-    r1 = -q + A.T @ (D_pol * b_act)
+    r1 = -q + ATmv(D_pol * b_act)
     x_pol, y_pol_eq = solve_pol(r1, b_eq)
     y_pol = jnp.where(is_eq, y_pol_eq,
-                      jnp.where(active, D_pol * (A @ x_pol - b_act), 0.0))
+                      jnp.where(active, D_pol * (Amv(x_pol) - b_act), 0.0))
 
     def kkt_metric(xc, yc):
         # primal + dual + complementarity/dual-sign violation (same metric
         # as qp.polish: stationarity alone can hold for a wrong active set)
-        Axc = A @ xc
+        Axc = Amv(xc)
         zc = jnp.clip(Axc, l, u)
         rp = jnp.max(jnp.abs(Axc - zc))
         rp_eq = jnp.max(jnp.abs(jnp.where(is_eq, Axc - b_eq, 0.0)))
-        rd = jnp.max(jnp.abs(P @ xc + q + A.T @ yc))
+        rd = jnp.max(jnp.abs(P @ xc + q + ATmv(yc)))
         yin = jnp.where(is_eq, 0.0, yc)
         comp = jnp.max(
             jnp.maximum(yin, 0.0) * jnp.where(finite_u, jnp.abs(u_safe - zc), 1.0)

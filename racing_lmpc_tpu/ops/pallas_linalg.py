@@ -136,6 +136,16 @@ def gj_inverse(A: Array, rows_per_program: int = 16,
     return out.reshape(A.shape)
 
 
+def _last_dim_iota(like: Array) -> Array:
+    """int32 iota along the last dim, shaped like ``like``.
+
+    Generated in-graph (``broadcasted_iota``) instead of a numpy constant so
+    the same code traces inside a Pallas kernel (captured array constants
+    are rejected there); XLA constant-folds it on the regular path.
+    """
+    return jax.lax.broadcasted_iota(jnp.int32, like.shape, like.ndim - 1)
+
+
 def _chol_small(S: Array) -> Array:
     """Unrolled column Cholesky of a small SPD batch (..., b, b), b <= ~32.
 
@@ -144,15 +154,17 @@ def _chol_small(S: Array) -> Array:
     assignment feeds it batch-minormost (1, 2, 0) operands and it runs ~60x
     slower (2.4 ms vs 0.04 ms at (256, 87, 87), profiled).  Indefinite
     inputs produce NaN via sqrt(negative), which the IPM's step_ok guard
-    relies on.
+    relies on.  Const-free (traces inside Pallas kernels).
     """
     b = S.shape[-1]
-    iota = np.arange(b)
     cols = []
     M = S
+    iota = None
     for j in range(b):
         d = jnp.sqrt(M[..., j, j])                       # NaN if not PD
         lj = M[..., :, j] / d[..., None]
+        if iota is None:
+            iota = _last_dim_iota(lj)
         lj = jnp.where(iota >= j, lj, 0.0)               # (..., b)
         cols.append(lj)
         M = M - lj[..., :, None] * lj[..., None, :]
@@ -164,17 +176,21 @@ def _chol_small(S: Array) -> Array:
 def _tri_inv_small(L: Array) -> Array:
     """Unrolled forward-substitution inverse of small lower-triangular
     (..., b, b) batches — replaces the `triangular_solve` custom call for
-    the blocked base cases (same TPU layout sensitivity as `cholesky`)."""
+    the blocked base cases (same TPU layout sensitivity as `cholesky`).
+    Const-free (traces inside Pallas kernels)."""
     b = L.shape[-1]
-    eye = np.eye(b, dtype=np.float32)
     zero = jnp.zeros_like(L[..., 0, :])
+    iota = _last_dim_iota(zero)
     rows: list = []
     for i in range(b):
         # scatter-free: restack the rows computed so far (rows >= i are
-        # zero, so the contraction only sees k < i)
+        # zero, so the contraction only sees k < i).  The contraction is a
+        # rank-matched batched matmul — einsum's rank-mismatched matvec
+        # (`...k,...kj->...j`) has no Mosaic lowering inside Pallas.
         X = jnp.stack(rows + [zero] * (b - i), axis=-2) if i else None
-        acc = jnp.einsum('...k,...kj->...j', L[..., i, :], X) if i else zero
-        rows.append((eye[i] - acc) / L[..., i, i][..., None])
+        acc = jnp.matmul(L[..., i:i + 1, :], X)[..., 0, :] if i else zero
+        e_i = (iota == i).astype(L.dtype)
+        rows.append((e_i - acc) / L[..., i, i][..., None])
     return jnp.stack(rows, axis=-2)
 
 
@@ -284,6 +300,93 @@ def tri_inv_lower(L: Array, block: int = 32) -> Array:
         for i in range(nb)]
     out = jnp.concatenate(rows, axis=-2)
     return out[..., :n, :n]
+
+
+def _chol_tri_inv_kernel(a_ref, o_ref):
+    # the whole factor+invert runs on one VMEM-resident block: ~100
+    # sequential small steps with zero HBM round trips between them
+    with jax.default_matmul_precision("highest"):
+        o_ref[...] = tri_inv_lower(chol_lower(a_ref[...]))
+
+
+def chol_tri_inv_fused(H: Array, rows_per_program: int = 8,
+                       block: int = 32, interpret: bool = False) -> Array:
+    """Fused ``L^-1`` of ``chol(H)`` as ONE Pallas kernel over batch chunks.
+
+    The blocked Cholesky + triangular inverse are ~100 sequential small ops
+    (rank-1 updates, row substitutions); as separate XLA kernels each one
+    pays dispatch overhead and an HBM round trip of the full batch —
+    profiled at ~0.6 ms per IPM iteration at (256, 87, 87), ~50% of the
+    whole iteration.  Here each grid program loads ``rows_per_program``
+    matrices into VMEM and runs the entire factor+invert on-chip.
+
+    **Measured verdict (v5e, (256, 87, 87) f32)**: the fused kernel does
+    NOT beat the XLA-pipelined unfused path at the LMPC shapes — grid
+    programs execute sequentially on the single TensorCore, so per-chunk
+    ops of R<=8 samples underfill the VPU lanes (3.5 ms/call vs ~0.6 ms
+    in-program unfused), and Mosaic's scoped-VMEM stack for the unrolled
+    elimination is ~0.73 MB/sample, capping R at ~16 (R=32 OOMs the 16 MB
+    scoped VMEM).  Kept as a building block for small-n / huge-batch
+    regimes; the IPM stays on the unfused path (see `chol_tri_inv`).
+
+    Inputs are padded to a multiple of ``block`` with an identity tail
+    (keeps SPD) OUTSIDE the kernel, so the in-kernel code takes the
+    constant-free pad=0 path.
+    """
+    n = H.shape[-1]
+    batch_shape = H.shape[:-2]
+    G = int(np.prod(batch_shape)) if batch_shape else 1
+    dtype = H.dtype
+
+    pad = (-n) % block
+    npad = n + pad
+    H2 = H.reshape(G, n, n)
+    if pad:
+        Hp = jnp.zeros((G, npad, npad), dtype=dtype)
+        Hp = Hp.at[:, :n, :n].set(H2)
+        Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=dtype))
+    else:
+        Hp = H2
+
+    R = max(1, min(rows_per_program, G))
+    bpad = (-G) % R
+    if bpad:
+        eye = jnp.broadcast_to(jnp.eye(npad, dtype=dtype), (bpad, npad, npad))
+        Hp = jnp.concatenate([Hp, eye], axis=0)
+    Gp = Hp.shape[0]
+
+    out = pl.pallas_call(
+        _chol_tri_inv_kernel,
+        grid=(Gp // R,),
+        in_specs=[pl.BlockSpec((R, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gp, npad, npad), dtype),
+        interpret=interpret,
+    )(Hp)
+    return out[:G, :n, :n].reshape(H.shape)
+
+
+@jax.custom_batching.custom_vmap
+def chol_tri_inv(H: Array) -> Array:
+    """``L^-1`` for ``L = chol(H)`` — the IPM's per-iteration factorization.
+
+    Written per-sample (the IPM body is per-scenario code batched by an
+    outer ``vmap``), with a custom-vmap rule so the batched implementation
+    can be swapped per shape regime.  The measured default on v5e keeps the
+    XLA-pipelined unfused path (see `chol_tri_inv_fused`'s verdict for why
+    the Pallas fusion loses at the LMPC shapes); callers in small-n /
+    huge-batch regimes can use `chol_tri_inv_fused` directly.
+    """
+    return tri_inv_lower(chol_lower(H))
+
+
+@chol_tri_inv.def_vmap
+def _chol_tri_inv_vmap(axis_size, in_batched, H):
+    del axis_size
+    (h_batched,) = in_batched
+    return tri_inv_lower(chol_lower(H)), h_batched
 
 
 def inv_small(M: Array) -> Array:

@@ -89,3 +89,30 @@ def test_gj_inverse_random_batch():
     err = np.abs(np.einsum("bij,bjk->bik", Ai, A)
                  - np.eye(16, dtype=np.float32)).max()
     assert err < 2e-4
+
+
+def test_chol_tri_inv_fused_interpret():
+    # the fused Pallas kernel, run in interpret mode on CPU: same numerics
+    # as the blocked unfused path
+    from racing_lmpc_tpu.ops.pallas_linalg import chol_tri_inv_fused
+    rng = np.random.default_rng(3)
+    H = _spd(rng, 10, 87)
+    Li = np.asarray(chol_tri_inv_fused(jnp.asarray(H), rows_per_program=4,
+                                       interpret=True))
+    L_ref = np.linalg.cholesky(H.astype(np.float64))
+    Li_ref = np.linalg.inv(L_ref)
+    err = np.abs(Li - Li_ref).max() / np.abs(Li_ref).max()
+    assert err < 5e-5
+
+
+def test_chol_tri_inv_custom_vmap():
+    from racing_lmpc_tpu.ops.pallas_linalg import chol_tri_inv
+    rng = np.random.default_rng(4)
+    H = _spd(rng, 6, 40)
+    # unbatched call
+    one = np.asarray(jax.jit(chol_tri_inv)(jnp.asarray(H[0])))
+    # batched call goes through the custom-vmap rule
+    batched = np.asarray(jax.jit(jax.vmap(chol_tri_inv))(jnp.asarray(H)))
+    Li_ref = np.linalg.inv(np.linalg.cholesky(H.astype(np.float64)))
+    assert np.abs(one - Li_ref[0]).max() < 1e-4
+    assert np.abs(batched - Li_ref).max() < 1e-4
