@@ -182,6 +182,15 @@ class RacingMPCConfig:
 
     step_mode: str = "continuous"    # "continuous" | "step"
 
+    # Elastic state boxes (TPU-engine extension, no reference analogue but
+    # the same pattern as the reference's soft track boundary,
+    # racing_mpc.cpp:524-543): 0 => hard x_min/x_max rows (parity); > 0 =>
+    # one shared nonnegative slack relaxes every state box with quadratic
+    # cost q_state_slack * slack^2.  Cures the transient LP-infeasibilities
+    # of aggressive low-rate configs (Putnam-short LMPC at 10 Hz), where a
+    # shifted warm start can make the one-step-reachable set miss a box.
+    q_state_slack: float = 0.0
+
     # LMPC
     learning: bool = False
     convex_hull_slack: tuple = ()    # nx quadratic slack weights; all-0 => hard
@@ -206,6 +215,13 @@ class RacingMPCConfig:
     qp_sigma: float = 1e-6
     qp_alpha: float = 1.6
     qp_polish: bool = True
+    # zoomed-refinement rounds after the IPM (ipm.py: Gleixner-style
+    # optimization-level iterative refinement with compensated residuals).
+    # Each round re-solves the residual QP and contracts the solve error;
+    # 2 rounds put the applied control within the 1e-3 reference-match
+    # budget, 3 is the accuracy mode used by tests/test_reference_match.py.
+    qp_zoom_rounds: int = 2
+    qp_zoom_iters: int = 0      # 0 => same as qp_ip_iters
 
     def R(self, nu: int) -> np.ndarray:
         return np.asarray(self.r, dtype=np.float64).reshape(nu, nu)

@@ -136,10 +136,15 @@ class MPCController:
         return jnp.where(ref > 0.0, ref_clipped, limit_clipped)
 
     # ------------------------------------------------------------------
-    def _rti_step(self, x_ic: Array, u_ic: Array, state: ControllerState,
-                  ss_x: Array, ss_j: Array, speed_limit: Array,
-                  speed_scale: Array,
-                  regs=None) -> tuple[ControllerState, StepInfo]:
+    def build_step_input(self, x_ic: Array, u_ic: Array,
+                         state: ControllerState, ss_x: Array, ss_j: Array,
+                         speed_limit: Array, speed_scale: Array,
+                         regs=None) -> tuple[MPCInput, Array, Array]:
+        """Shift the previous plan and assemble this cycle's solver input
+        (racing_mpc_node.cpp:236-292).  Pure/jittable; also callable outside
+        jit to CAPTURE the exact per-cycle QP parameters — the golden-match
+        test replays these through the f64 reference-QP oracle
+        (mpc/reference_qp.py).  Returns (inp, z_warm, dU_ref)."""
         mpc = self.mpc
         N, nu = mpc.N, mpc.nu
         dtype = x_ic.dtype
@@ -170,6 +175,16 @@ class MPCController:
             dC=None if regs is None else regs[2])
 
         z_warm = mpc.warm_start_vector(X_ref, U_ref, dU_ref, state.lam)
+        return inp, z_warm, dU_ref
+
+    def _rti_step(self, x_ic: Array, u_ic: Array, state: ControllerState,
+                  ss_x: Array, ss_j: Array, speed_limit: Array,
+                  speed_scale: Array,
+                  regs=None) -> tuple[ControllerState, StepInfo]:
+        mpc = self.mpc
+        inp, z_warm, dU_ref = self.build_step_input(
+            x_ic, u_ic, state, ss_x, ss_j, speed_limit, speed_scale, regs)
+        X_ref, U_ref = inp.X_ref, inp.U_ref
         out, _ = mpc._solve_impl(inp, z_warm, jnp.asarray(True))
 
         # on failure keep flying the shifted previous plan

@@ -52,10 +52,30 @@ class ObservationNameNotFoundException(RuntimeError):
     pass
 
 
+def _sanitize_cov(x, P):
+    """State-covariance sanitation (check_cov, ekf_state_estimator.cpp:238-264):
+    symmetrize, replace non-finite entries, floor the diagonal.  Returns a
+    flag so the host can WARN through the Logger (the reference logs there)."""
+    P_sym = 0.5 * (P + P.T)
+    finite = jnp.isfinite(P_sym)
+    diag = jnp.diagonal(P_sym)
+    p_bad = jnp.any(~finite) | jnp.any(diag < 0.0)
+    P_fixed = jnp.where(finite, P_sym, 0.0)
+    P_fixed = P_fixed.at[jnp.diag_indices_from(P_fixed)].set(
+        jnp.maximum(jnp.diagonal(P_fixed), 1e-9))
+    return x, P_fixed, p_bad
+
+
 class EKFStateEstimator:
-    def __init__(self, config: EKFConfig, model: VehicleModel):
+    def __init__(self, config: EKFConfig, model: VehicleModel,
+                 logger=None, debug: bool = False):
+        """``logger`` is a telemetry.Logger sink for WARN-on-sanitation and
+        (with ``debug=True``) the full-matrix deep-debug dumps the reference
+        emits through its Logger (ekf_state_estimator.cpp:138-210)."""
         self.config = config
         self.model = model
+        self.logger = logger
+        self.debug = debug
         nx = model.nx
         self.x = jnp.asarray(config.x0, dtype=jnp.float32)
         self.P = jnp.asarray(np.reshape(config.p0, (nx, nx)), dtype=jnp.float32)
@@ -114,8 +134,10 @@ class EKFStateEstimator:
             with jax.default_matmul_precision("highest"):
                 x_p, P_p = self._predict(x, u, P, dt)
                 if h is None:
-                    return (jnp.clip(x_p, self.x_min, self.x_max), P_p,
-                            jnp.zeros((nx, 0), dtype=x.dtype))
+                    x_p, P_p, p_bad = _sanitize_cov(
+                        jnp.clip(x_p, self.x_min, self.x_max), P_p)
+                    return (x_p, P_p,
+                            jnp.zeros((nx, 0), dtype=x.dtype), p_bad)
                 bad = ~(jnp.all(jnp.isfinite(z)) & jnp.all(jnp.isfinite(R)))
                 # covariance sanitation (check_cov, :238-264)
                 R = jnp.maximum(R, 0.0)
@@ -132,7 +154,9 @@ class EKFStateEstimator:
                 x_new = jnp.where(bad, x_p, x_c)
                 P_new = jnp.where(bad, P_p, P_c)
                 Kz = jnp.where(bad, jnp.zeros_like(Kz), Kz)
-                return jnp.clip(x_new, self.x_min, self.x_max), P_new, Kz
+                x_new, P_new, p_bad = _sanitize_cov(
+                    jnp.clip(x_new, self.x_min, self.x_max), P_new)
+                return x_new, P_new, Kz, p_bad | bad
         return step
 
     # ------------------------------------------------------------------
@@ -155,14 +179,31 @@ class EKFStateEstimator:
             dt_ns = 0
         dt = jnp.asarray(dt_ns * 1e-9, dtype=jnp.float32)
         if name is None:
-            x, P, _ = self._steps[None](self.x, self.u, self.P, dt,
-                                        jnp.zeros(0), jnp.zeros((0, 0)))
+            x, P, _, p_bad = self._steps[None](self.x, self.u, self.P, dt,
+                                               jnp.zeros(0), jnp.zeros((0, 0)))
             Kz = jnp.zeros((self.model.nx, 0))
         else:
             z = jnp.asarray(z, dtype=jnp.float32)
             R = jnp.asarray(R, dtype=jnp.float32)
-            x, P, Kz = self._steps[name](self.x, self.u, self.P, dt, z, R)
+            x, P, Kz, p_bad = self._steps[name](self.x, self.u, self.P, dt, z, R)
             self.K = self.K.at[:, self._slices[name]].set(Kz)
         self.x, self.P = x, P
         self.nanosec = int(timestamp_ns)
-        return {"x": self.x, "P": self.P, "K": self.K, "Kz": Kz}
+        if self.logger is not None:
+            from racing_lmpc_tpu.control.telemetry import LogLevel
+            if bool(p_bad):
+                # mirrors the reference's WARN when check_cov sanitizes or a
+                # NaN/Inf observation was rejected (:155-167,238-264)
+                self.logger.send_log(
+                    LogLevel.WARN,
+                    f"EKF sanitation engaged on update '{name}' "
+                    f"(non-finite input or covariance repaired)")
+            if self.debug:
+                # deep-debug matrix dumps (:138-210)
+                self.logger.send_log(
+                    LogLevel.DEBUG,
+                    f"EKF update '{name}': x={np.asarray(x)}\n"
+                    f"P={np.asarray(P)}\nK={np.asarray(self.K)}\n"
+                    f"Kz={np.asarray(Kz)}")
+        return {"x": self.x, "P": self.P, "K": self.K, "Kz": Kz,
+                "sanitized": bool(p_bad)}

@@ -62,6 +62,7 @@ class ScenarioSpec:
     delay_step: int = 0
     n_override: int | None = None
     load_laps: tuple = ()
+    mpc_extra: dict = field(default_factory=dict)
 
 
 # the five shipped launch scenarios (racing_lmpc_launch/launch/**)
@@ -99,13 +100,15 @@ _SCENARIOS = {
         dt=0.1,
         # warm-start safe set recorded with the tracking controller on this
         # raceline (the reference's launch points at laps absent from its
-        # repo — a stale author path; these replace them).  NOTE: this 10 Hz
-        # IAC LMPC configuration is marginal — the shifted plan drifts into
-        # small steering-bound/x-box LP-infeasibilities (~0.05 rad over one
-        # stage, elastic-LP certified) and falls back often; the reference
-        # cannot run this scenario as shipped at all (missing lap files).
+        # repo — a stale author path; these replace them).  This 10 Hz IAC
+        # LMPC configuration drifts into transient x-box LP-infeasibilities
+        # (~0.05 rad over one stage, elastic-LP certified); the ELASTIC
+        # state boxes (q_state_slack, racing_mpc.py) absorb them instead of
+        # forcing fallbacks — the reference cannot run this scenario as
+        # shipped at all (missing lap files).
         load_laps=tuple(str(SS_DIR / "putnam_short" / f"ss_lap_{i}")
                         for i in (1, 2, 3)),
+        mpc_extra={"q_state_slack": 2000.0},
     ),
     "putnam_short_tracking_mpc": ScenarioSpec(
         name="putnam_short_tracking_mpc",
@@ -154,7 +157,7 @@ class CoSimulation:
         self.track = RacingTrajectory.from_file(TRACK_DIR / spec.sim_track_file)
         self.track_map = RacingTrajectoryMap(TRACK_DIR / spec.track_dir)
 
-        overrides = dict(mpc_overrides or {})
+        overrides = {**spec.mpc_extra, **(mpc_overrides or {})}
         if spec.load_laps:
             overrides.setdefault("load", True)
             overrides.setdefault("load_path", spec.load_laps)
@@ -182,6 +185,11 @@ class CoSimulation:
         self._s_prev_seed = None
         self._u_prev = jnp.zeros((self.ctrl_model.nu,), dtype=jnp.float32)
         self.lap_num = 0
+        # optional state estimator hook: maps the (possibly noisy) published
+        # VehicleStateMsg to the msg the controller consumes — the in-process
+        # seam where the reference would run ekf_state_estimator between the
+        # simulator and the MPC node topics
+        self.state_filter = None
 
     # ------------------------------------------------------------------
     def vehicle_state_msg(self) -> VehicleStateMsg:
@@ -212,6 +220,8 @@ class CoSimulation:
     def controller_cycle(self, msg: VehicleStateMsg) -> VehicleActuationMsg:
         """Controller node half: VehicleStateMsg -> solve -> actuation
         (racing_mpc_node on_step_timer, :150-477)."""
+        if self.state_filter is not None:
+            msg = self.state_filter(msg)
         x_frenet = jnp.asarray(
             [msg.p.s, msg.p.x_tran, msg.p.e_psi,
              msg.v.v_long, msg.v.v_tran, msg.w.w_psi], dtype=jnp.float32)
@@ -290,6 +300,93 @@ class CoSimulation:
 
     def export_telemetry(self, path: str | Path):
         Path(path).write_text(json.dumps([t.to_dict() for t in self.telemetry]))
+
+
+class ContinuousCoSimulation:
+    """Continuous-mode co-simulation on a simulated clock.
+
+    The reference's continuous mode runs both nodes on wall-clock timers:
+    the simulator integrates and publishes ``vehicle_state`` every sim tick
+    (racing_simulator_node.cpp:125-129 timer + the state-republish KEEPALIVE
+    :172-189 that keeps publishing even when no actuation arrives), while
+    the MPC node solves on its own period and delay-compensates by
+    advancing x_ic one step with the in-flight command and applying
+    ``u[delay_step]`` (racing_mpc_node.cpp:114-118,386-402;
+    control/loop.py continuous branch).  Here the same topology runs on a
+    deterministic simulated clock: one plant tick every ``sim_dt``
+    (continuous_simulator.param.yaml: 0.01 s), one controller cycle every
+    ``spec.dt`` (0.025 s), actuation taking effect on the NEXT plant tick.
+
+    ``actuation_gate(t) -> bool`` simulates actuation loss: while it
+    returns False the controller output is dropped, and the keepalive path
+    keeps the plant integrating and publishing with the last command.
+    """
+
+    def __init__(self, spec: ScenarioSpec, sim_dt: float = 0.01,
+                 n_override: int | None = None, mpc_overrides: dict | None = None):
+        ov = dict(mpc_overrides or {})
+        ov["step_mode"] = "continuous"
+        self.cs = CoSimulation(spec, n_override=n_override, mpc_overrides=ov)
+        self.sim_dt = sim_dt
+        self.ctrl_dt = spec.dt      # controller timer period (two timers
+        # with a non-integer ratio, like the reference's 25 ms MPC timer
+        # over the 10 ms continuous simulator; scheduled by accumulator)
+        self._next_ctrl_t = 0.0
+        # delayed-actuation pick: the command computed now is applied one
+        # control period later (racing_mpc_node.hpp:61 delay_step)
+        self.cs.controller.delay_step = 1
+        self.cs.simulator = type(self.cs.simulator)(
+            SimulatorConfig(dt=sim_dt, x0=spec.x0_global,
+                            step_mode="continuous"),
+            self.cs.sim_model, self.cs.track)
+        self.act: VehicleActuationMsg | None = None
+        self.published: list[VehicleStateMsg] = []
+        self._tick = 0
+
+    def _plant_tick(self):
+        """One sim integration + state publish at the sim rate
+        (racing_simulator_node.cpp:240-332, lap counting :266-284)."""
+        cs = self.cs
+        act = self.act or VehicleActuationMsg(t=cs._t, u_a=0.0, u_steer=0.0)
+        fd = max(act.u_a, 0.0)
+        fb = min(act.u_a, 0.0)
+        cs.simulator.step(jnp.asarray([fd, fb, act.u_steer], dtype=jnp.float32))
+        msg = cs.vehicle_state_msg()
+        s_now = msg.p.s
+        if cs._last_s is not None and \
+                cs._last_s - s_now > 0.5 * cs.track.total_length:
+            cs.lap_num += 1
+            if cs._lap_start_t > 0.0 or cs.lap_num > 1:
+                cs.lap_times.append(cs._t - cs._lap_start_t)
+            cs._lap_start_t = cs._t
+        cs._last_s = s_now
+        cs._t += self.sim_dt
+        self.published.append(msg)
+        return msg
+
+    def run(self, sim_steps: int, actuation_gate=None) -> dict:
+        cs = self.cs
+        msg = cs.vehicle_state_msg()
+        for _ in range(sim_steps):
+            if cs._t >= self._next_ctrl_t - 1e-9:
+                self._next_ctrl_t += self.ctrl_dt
+                act = cs.controller_cycle(msg)
+                if actuation_gate is None or actuation_gate(cs._t):
+                    self.act = act
+                # else: actuation lost — the plant keeps flying the last
+                # command and keeps publishing (keepalive)
+            msg = self._plant_tick()
+            self._tick += 1
+        prof = cs.profiler.profile()
+        return {
+            "laps": cs.lap_num,
+            "lap_times": cs.lap_times,
+            "published_states": len(self.published),
+            "controller_cycles": len(cs.telemetry),
+            "fallback_rate": float(np.mean(
+                [not t.solved for t in cs.telemetry])) if cs.telemetry else 0.0,
+            "solve_time": {"min": prof.min, "mean": prof.mean, "max": prof.max},
+        }
 
 
 def _make(name: str, **kw) -> CoSimulation:

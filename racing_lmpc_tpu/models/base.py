@@ -180,6 +180,25 @@ class VehicleModel:
     def control_bounds(self) -> BoxBounds:
         raise NotImplementedError
 
+    # number of rows returned by ``nl_constraints`` (static, per model)
+    n_nl: int = 0
+
+    def nl_constraints(self, x: Array, u: Array, k: Array) -> Array:
+        """Stage-wise NONLINEAR inequality residuals g(x, u, k) <= 0.
+
+        The reference wires these through ``model_->add_nlp_constraints``
+        into BOTH solver paths (racing_mpc.cpp:126-145): kinematic power
+        v*fd <= P_max and drive/brake exclusivity (fd*fb)^2 <= 1
+        (kinematic_bicycle_model.cpp:99-104), the double-track's four
+        friction-ellipse rows + v >= 0
+        (double_track_planar_model.cpp:106-126).  The TPU engine linearizes
+        them at the RTI reference each solve (one extra dense row block in
+        the condensed QP, re-linearized every SQP iteration), which is the
+        OSQP-compatible treatment the reference itself would need on its QP
+        path.  Default: no rows (single-track simplified lon — the shipped
+        launches — has only the linear subset, handled by control_bounds)."""
+        return jnp.zeros((0,), dtype=jnp.result_type(x))
+
     # -- actuator maps (base_vehicle_model.cpp:131-246) ----------------------
     def calc_throttle(self, fd: float) -> float:
         """Drive force (N) → throttle % via inverse engine-torque lookup.

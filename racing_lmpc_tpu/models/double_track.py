@@ -257,6 +257,27 @@ class DoubleTrackPlanarModel(VehicleModel):
         mu = self.config.mu
         return (Fx / (mu * Fz)) ** 2 + (Fy / (mu * Fz)) ** 2 - 1.0
 
+    # 4 friction-ellipse rows + power + exclusivity + v >= 0
+    n_nl: int = 7
+
+    def nl_constraints(self, x: Array, u: Array, k: Array) -> Array:
+        """The double-track add_nlp_constraints inequality set
+        (double_track_planar_model.cpp:106-126): four friction ellipses,
+        v*fd <= P_max, (fd*fb)^2 <= 1, and v >= 0.  The reference's separate
+        ``gamma_y`` algebraic constraint (:113-118) is identically satisfied
+        here because this model solves the same fixed point INSIDE the
+        dynamics/force graph (solve_gamma_y), so it contributes no extra QP
+        row — the linearizations already differentiate through it."""
+        v = x[..., DtXIndex.V]
+        fd = u[..., BaseUIndex.FD]
+        fb = u[..., BaseUIndex.FB]
+        return jnp.concatenate([
+            self.friction_ellipse(x, u),
+            jnp.stack([v * fd - self.config.p_max,
+                       (fd * fb) ** 2 - 1.0,
+                       -v], axis=-1),
+        ], axis=-1)
+
     def calc_lon_control(self, u: Array) -> tuple[float, float]:
         fd = float(u[BaseUIndex.FD])
         fb = float(u[BaseUIndex.FB])

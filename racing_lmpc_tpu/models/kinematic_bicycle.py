@@ -64,9 +64,11 @@ class KinematicBicycleModel(VehicleModel):
 
         beta = self._beta(delta)
         l = cfg.chassis.wheel_base
-        S = l / jnp.tan(delta)            # rear-axle turn radius
-        R = S / jnp.cos(beta)             # cg turn radius
-        phi_dot = v / R
+        # v / R with R = (l / tan d) / cos(beta), written division-free:
+        # the reference's R-form (kinematic_bicycle_model.cpp:193-197) is
+        # algebraically equal but yields NaN JACOBIANS at delta == 0 (the
+        # straight-line linearization point every RTI cold start uses)
+        phi_dot = v * jnp.cos(beta) * jnp.tan(delta) / l
         px_dot = v * jnp.cos(beta + phi)
         py_dot = v * jnp.sin(beta + phi)
         v_dot = self._longitudinal_accel(fd, fb, v_sq)
@@ -98,15 +100,14 @@ class KinematicBicycleModel(VehicleModel):
         beta = self._beta(delta)
         v = x[..., KinXIndex.V]
         cfg = self.base_config.chassis
-        S = cfg.wheel_base / jnp.tan(delta)
-        R = S / jnp.cos(beta)
         return jnp.stack([
             x[..., KinXIndex.PX],
             x[..., KinXIndex.PY],
             x[..., KinXIndex.YAW],
             v * jnp.cos(beta),
             v * jnp.sin(beta),
-            v / R,
+            # v / R, division-free (see dynamics)
+            v * jnp.cos(beta) * jnp.tan(delta) / cfg.wheel_base,
         ], axis=-1)
 
     def from_base_state(self, x_base: Array, u_base: Array) -> Array:
@@ -134,6 +135,16 @@ class KinematicBicycleModel(VehicleModel):
     def power_constraint(self, x: Array, u: Array) -> Array:
         """Nonlinear power constraint v*fd <= P_max (SQP path, :103)."""
         return x[..., KinXIndex.V] * u[..., BaseUIndex.FD] - self.config.p_max
+
+    n_nl: int = 2
+
+    def nl_constraints(self, x: Array, u: Array, k: Array) -> Array:
+        """Power + drive/brake exclusivity (kinematic_bicycle_model.cpp:99-104):
+        v*fd - P_max <= 0  and  (fd*fb)^2 - 1 <= 0."""
+        fd = u[..., BaseUIndex.FD]
+        fb = u[..., BaseUIndex.FB]
+        excl = (fd * fb) ** 2 - 1.0
+        return jnp.stack([self.power_constraint(x, u), excl], axis=-1)
 
     def calc_lon_control(self, u: Array) -> tuple[float, float]:
         fd = float(u[BaseUIndex.FD])

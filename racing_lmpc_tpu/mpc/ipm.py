@@ -49,7 +49,12 @@ _EPS = 1e-10
 _MU_FLOOR = 1e-7
 # Relative Hessian ridge applied to every incoming QP (see solve_qp_ip):
 # lifts f32-rounding negative curvature of the condensed Gram-sum Hessians.
+# The bias it adds along the QP's low-curvature valley (~1e-2-relative
+# steering, measured) is removed afterwards by the zoomed refinement, whose
+# own subproblems use the smaller _RIDGE_ZOOM_REL (bias there scales with
+# the residual itself, so it contracts geometrically).
 _RIDGE_REL = 1e-5
+_RIDGE_ZOOM_REL = 0.0
 
 
 def _ipm_core(data: QPData, iters: int, delta: float,
@@ -411,13 +416,24 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     # Cholesky+Schur solver (a full-KKT LU would reintroduce the pivoted
     # custom call this module exists to avoid).  Keep whichever iterate has
     # the smaller combined KKT residual.
-    act_l = has_l & (z_l > z_u) & (z_l > 1e-6)
-    act_u = has_u & (z_u > z_l) & (z_u > 1e-6)
+    # Active-set detection: a row is active on a side when its DUAL dominates
+    # its SLACK (on the Ruiz-scaled problem both are O(1)-normalized).  The
+    # old side-vs-side test (z_l > z_u) mis-pinned rows whose both duals sit
+    # at the mu-floor noise level (~1e-6), which made the penalty system
+    # infeasibly over-determined and the polish result garbage on every LMPC
+    # instance (kkt_metric ~1e7, always rejected — measured).
+    act_l = has_l & (z_l > s_l) & (z_l > z_u)
+    act_u = has_u & (z_u > s_u) & (z_u > z_l)
     active = act_l | act_u
     b_act = jnp.where(act_l, l_safe, jnp.where(act_u, u_safe, 0.0))
     rho = jnp.asarray(1e5, dtype)
     D_pol = jnp.where(active, rho, 0.0)
     solve_pol = make_solver(D_pol)
+    # Single-shot penalty polish (OSQP's "polish" analogue).  Its 1/rho bias
+    # and any active-set misidentification are caught by the kkt_metric
+    # gate below and, more fundamentally, superseded by the zoomed
+    # refinement in solve_qp_ip — the polish is kept because on cleanly
+    # determined instances it lands exactly on the active face in one solve.
     r1 = -q + ATmv(D_pol * b_act)
     x_pol, y_pol_eq = solve_pol(r1, b_eq)
     y_pol = jnp.where(is_eq, y_pol_eq,
@@ -439,16 +455,19 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 
     pol_ok = (kkt_metric(x_pol, y_pol) < kkt_metric(x, y)) \
         & jnp.all(jnp.isfinite(x_pol)) & jnp.all(jnp.isfinite(y_pol))
-    x = jnp.where(pol_ok, x_pol, x)
-    y = jnp.where(pol_ok, y_pol, y)
+    x_fin = jnp.where(pol_ok, x_pol, x)
+    y_fin = jnp.where(pol_ok, y_pol, y)
     if trace:
-        return x, y, diags
-    return x, y
+        return x_fin, y_fin, (diags, x, y, x_pol, y_pol,
+                              kkt_metric(x, y), kkt_metric(x_pol, y_pol),
+                              (s_l, s_u, z_l, z_u, act_l, act_u))
+    return x_fin, y_fin
 
 
 def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
                 scale: bool = True, eq_rows: Array | None = None,
-                struct=None) -> QPSolution:
+                struct=None, zoom_rounds: int = 1,
+                zoom_iters: int | None = None) -> QPSolution:
     """Ruiz-scale, run the IPM, unscale, report residuals.
 
     Runs under full-f32 matmul precision: TPU's default reduced-precision
@@ -457,12 +476,14 @@ def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
     convergence quality (verified: 0 vs 21% failed solves in closed loop).
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows, struct)
+        return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows, struct,
+                                  zoom_rounds, zoom_iters)
 
 
 def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
                        scale: bool, eq_rows: Array | None = None,
-                       struct=None) -> QPSolution:
+                       struct=None, zoom_rounds: int = 1,
+                       zoom_iters: int | None = None) -> QPSolution:
     # The condensed Hessians arrive as f32 Gram-product sums that are only
     # symmetric PSD in exact arithmetic; rounding leaves ~1e-4-relative
     # asymmetry and NEGATIVE curvature (observed lambda_min ~ -2e-4 on BARC
@@ -474,17 +495,105 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     # degrades LMPC solutions).
     data = data._replace(P=0.5 * (data.P + data.P.T))
     if scale:
-        sdata, (D, E, c) = ruiz_equilibrate(data)
+        sdata0, (D, E, c) = ruiz_equilibrate(data)
     else:
-        sdata, D, E, c = data, 1.0, 1.0, 1.0
+        sdata0 = data
         D = jnp.ones(data.P.shape[0], dtype=data.P.dtype)
         E = jnp.ones(data.A.shape[0], dtype=data.P.dtype)
         c = jnp.asarray(1.0, dtype=data.P.dtype)
-    n = sdata.P.shape[0]
-    ridge = _RIDGE_REL * (jnp.trace(sdata.P) / n)
-    sdata = sdata._replace(P=sdata.P + ridge * jnp.eye(n, dtype=sdata.P.dtype))
+    n = sdata0.P.shape[0]
+    trace_n = jnp.trace(sdata0.P) / n
+    I_n = jnp.eye(n, dtype=sdata0.P.dtype)
+    sdata = sdata0._replace(P=sdata0.P + (_RIDGE_REL * trace_n) * I_n)
     xs, ys = _ipm_core(sdata, iters=iters, delta=delta, eq_rows=eq_rows,
                        struct=struct)
+
+    # ---- zoomed refinement (iterative refinement at the OPTIMIZATION
+    # level, after Gleixner et al.'s exact-LP refinement) -----------------
+    # Two f32 error sources park the first pass ~1e-2-relative off the f64
+    # optimum in the steering direction (measured vs mpc/reference_qp.py):
+    # the convexity ridge biases the minimizer along the QP's low-curvature
+    # valley, and the IPM itself stops at its mu floor.  Both are removed by
+    # re-solving the RESIDUAL problem around the iterate
+    #     min 1/2 e'(P0 + ridge2) e + (q + P0 x1)'e
+    #     s.t. l - A x1 <= A e <= u - A x1
+    # zoomed by Delta (gradient/bounds scaled by Delta) with the SAME
+    # fixed-iteration solver: f32 floors are absolute, so the magnified
+    # problem resolves Delta-times-finer detail, and the refinement ridge
+    # re-biases only by O(ridge * |e|) — geometric contraction.  The
+    # gradient and slacks MUST be computed in compensated (double-word) f32
+    # (ops/compensated.py): their true values sit at ~1e-8 where a plain
+    # matvec carries ~1e-7 rounding, and a refinement fed f32-cancellation
+    # noise stalls (measured).  Active-set-free, so the near-dependent
+    # active rows of the LMPC QPs can never form a singular KKT here.
+    from racing_lmpc_tpu.ops.compensated import (
+        dot_compensated, matvec_compensated, two_sum)
+
+    P0, q0, A0, l0, u0 = sdata0
+
+    def comp_pieces(x):
+        """Double-word A x, P x + q of the UNRIDGED scaled problem."""
+        f_h, f_l = matvec_compensated(A0, x)
+        rq_h, rq_l = matvec_compensated(P0, x)
+        rq_h, e1 = two_sum(rq_h, q0)
+        return f_h, f_l, rq_h, rq_l + e1
+
+    def phi_of(x, pieces):
+        """Exact-penalty merit phi = objective + PEN * violation, evaluated
+        in compensated arithmetic.  Dual-free on purpose: the fresh duals a
+        refinement subproblem returns carry their own noise and must not
+        veto a primal improvement (measured: a step improving steering
+        10x was rejected by a KKT-residual guard)."""
+        f_h, f_l, rq_h, rq_l = pieces
+        # obj = 1/2 x'(P x + q) + 1/2 q'x  — use the compensated P x + q
+        oh1, ol1 = dot_compensated(x, rq_h)
+        oh2, ol2 = dot_compensated(x, rq_l)
+        oh3, ol3 = dot_compensated(q0, x)
+        obj = 0.5 * (oh1 + ol1 + oh2 + ol2 + oh3 + ol3)
+        f = f_h + f_l
+        viol = jnp.max(jnp.abs(f - jnp.clip(f, l0, u0)))
+        return obj + PEN * viol
+
+    # exact-penalty weight: must dominate the true multipliers (|y*|); the
+    # main pass's duals are a reliable estimate
+    PEN = 30.0 * (1.0 + jnp.max(jnp.abs(jnp.nan_to_num(ys))))
+
+    # Zoom LADDER.  Round 1 runs unzoomed (the ridge-bias correction is
+    # O(1)); after an accepted round the zoom is raised so the EXPECTED
+    # remaining correction (~1e-2 of the measured one) becomes O(1) for the
+    # solver — the f32 floors are absolute, so the magnified subproblem
+    # resolves zoom-times-finer detail.  A rejected round escalates the
+    # zoom instead (the step was too coarse at this scale).
+    zoom = jnp.asarray(1.0, dtype=sdata.P.dtype)
+    pieces = comp_pieces(xs)
+    phi1 = phi_of(xs, pieces)
+    for _ in range(zoom_rounds):
+        f_h, f_l, rq_h, rq_l = pieces
+        l_r = (l0 - f_h) - f_l
+        u_r = (u0 - f_h) - f_l
+        rq = rq_h + rq_l
+        rdata = QPData(P=P0, q=zoom * rq, A=A0,
+                       l=zoom * l_r, u=zoom * u_r)
+        ok1 = jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(ys))
+        xe, ye = _ipm_core(rdata, iters=zoom_iters or iters, delta=delta,
+                           eq_rows=eq_rows, struct=struct)
+        step_ok = ok1 & jnp.all(jnp.isfinite(xe)) & jnp.all(jnp.isfinite(ye))
+        xs2 = jnp.where(step_ok, xs + xe / zoom, xs)
+        ys2 = jnp.where(step_ok, ye / zoom, ys)
+        pieces2 = comp_pieces(xs2)
+        phi2 = phi_of(xs2, pieces2)
+        better = step_ok & (phi2 < phi1)
+        xs = jnp.where(better, xs2, xs)
+        ys = jnp.where(better, ys2, ys)
+        phi1 = jnp.where(better, phi2, phi1)
+        pieces = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), pieces2, pieces)
+        # next zoom: make the expected remaining correction O(1)
+        e_norm = jnp.max(jnp.abs(xe)) / zoom
+        zoom_next = 1.0 / jnp.maximum(1e-2 * e_norm, 1e-6)
+        zoom = jnp.clip(jnp.where(better, zoom_next, zoom * 30.0),
+                        1.0, 1e6)
+
     rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)
     x = xs * D
     y = ys * E / c

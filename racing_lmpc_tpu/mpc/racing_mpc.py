@@ -123,6 +123,8 @@ class _Layout:
     has_bslack: bool
     has_hull_slack: bool      # hull slack eliminated into the cost
     learning: bool
+    n_nl: int = 0             # nonlinear model-constraint rows per stage
+    has_xslack: bool = False  # elastic state boxes (q_state_slack > 0)
     n: int = 0
     m: int = 0
 
@@ -133,20 +135,40 @@ class _Layout:
         off = self.nuu
         self.sb_off = off
         off += 1 if self.has_bslack else 0
+        self.sxb_off = off
+        off += 1 if self.has_xslack else 0
         self.lam_off = off
         off += K if self.learning else 0
         self.n = off
 
-        # constraint rows
+        # constraint rows.  The reference adds separate model control-bound
+        # and config u-box rows over the SAME variables (racing_mpc.cpp:148 +
+        # add_nlp_constraints); as exact duplicates they make every active-set
+        # KKT singular (and double the barrier rows), so they are merged here
+        # into one row block with elementwise-tightened bounds — an
+        # optimum-preserving transformation.  x boxes cover stages 1..N-2:
+        # the reference boxes stages 0..N-2 (racing_mpc.cpp:126,147) — stage 0
+        # is pinned to x_ic by the initial-state equality and the TERMINAL
+        # state is deliberately NOT boxed.
         r = 0
         self.r_bound_up = r; r += N
         self.r_bound_lo = r; r += N
         if self.has_bslack:
             self.r_sb = r; r += 1
-        self.r_u_bnd = r; r += (N - 1) * nu
+        self.r_u_bnd = r; r += (N - 1) * nu      # model bounds ∩ u box
         self.r_du_bnd = r; r += (N - 1) * nu
-        self.r_x_box = r; r += (N - 1) * nx      # stages 1..N-1
-        self.r_u_box = r; r += (N - 1) * nu
+        # state boxes on stages 1..N-2: one two-sided block when hard; two
+        # one-sided blocks sharing the elastic slack column when soft
+        self.r_x_box = r; r += (N - 2) * nx
+        if self.has_xslack:
+            self.r_x_box_lo = r; r += (N - 2) * nx
+        if self.has_xslack:
+            self.r_sxb = r; r += 1               # slack >= 0
+        # nonlinear model constraints (power, drive/brake exclusivity,
+        # friction ellipse, v >= 0 — model.nl_constraints), linearized at
+        # the RTI reference each solve (racing_mpc.cpp:126-145 wires
+        # add_nlp_constraints into every stage of BOTH solver paths)
+        self.r_nl = r; r += (N - 1) * self.n_nl
         if self.learning:
             self.r_lam_pos = r; r += K
             self.r_lam_sum = r; r += 1
@@ -156,6 +178,16 @@ class _Layout:
 
     def iu(self, i):
         return self.u0_off + i * self.nu
+
+
+def _nl_linearize(model, X: Array, U: Array, Ks: Array):
+    """(g, dg/dx, dg/du) of model.nl_constraints at every stage reference."""
+    def one(x, u, k):
+        g = model.nl_constraints(x, u, k)
+        Gx = jax.jacfwd(lambda xx: model.nl_constraints(xx, u, k))(x)
+        Gu = jax.jacfwd(lambda uu: model.nl_constraints(x, uu, k))(u)
+        return g, Gx, Gu
+    return jax.vmap(one)(X, U, Ks)
 
 
 class RacingMPC:
@@ -171,11 +203,14 @@ class RacingMPC:
         hull_w = np.asarray(config.convex_hull_slack, dtype=np.float64)
         self.has_hull_slack = bool(config.learning and hull_w.size and hull_w.sum() > 0)
         self.has_bslack = bool(config.q_boundary > 0.0)
+        self.has_xslack = bool(config.q_state_slack > 0.0)
         self.layout = _Layout(
             nx=nx, nu=nu, N=N, K=self.K,
             has_bslack=self.has_bslack,
             has_hull_slack=self.has_hull_slack,
-            learning=bool(config.learning))
+            learning=bool(config.learning),
+            n_nl=int(model.n_nl),
+            has_xslack=self.has_xslack)
 
         # fixed diagonal scaling (racing_mpc.cpp:36-37); models whose state
         # order differs from the base layout provide their own permutation
@@ -222,7 +257,8 @@ class RacingMPC:
         # the leading v/slack columns; the lambda-positivity rows are
         # one-hot; everything after is an equality row (barrier weight 0).
         # Cuts the (m, n) x (n, n) A'DA product to (m_dense, nc) x (nc, nc).
-        nc_dense = L.nuu + (1 if self.has_bslack else 0)
+        nc_dense = (L.nuu + (1 if self.has_bslack else 0)
+                    + (1 if self.has_xslack else 0))
         m_dense = L.r_lam_pos if config.learning else L.m
         if config.learning:
             diag_rows = np.arange(L.r_lam_pos, L.r_lam_pos + self.K)
@@ -411,6 +447,8 @@ class RacingMPC:
 
         if self.has_bslack:
             P = P.at[L.sb_off, L.sb_off].add(2.0 * cfg.q_boundary)
+        if self.has_xslack:
+            P = P.at[L.sxb_off, L.sxb_off].add(2.0 * cfg.q_state_slack)
 
         # ---- track boundary (build_boundary_constraint, :524-543) -------
         F_py = F[:, self.idx_contour, :]                     # (N, nuu)
@@ -428,15 +466,22 @@ class RacingMPC:
         lo = lo.at[rows_lo].set(inp.bound_right + self.margin - f_py)
 
         # ---- per-stage control & rate bounds (model QP constraints) -----
-        # control rows: su * ubar = su * (MU v + mu0)
+        # control rows: su * ubar = su * (MU v + mu0).  Bounds are the
+        # elementwise intersection of the model's add_nlp_constraints bounds
+        # and the config u box (racing_mpc.cpp:148) — identical rows merged
+        # so the QP has no duplicate constraints (see _Layout).
+        u_min = np.asarray(cfg.u_min if len(cfg.u_min) == nu else [-np.inf] * nu)
+        u_max = np.asarray(cfg.u_max if len(cfg.u_max) == nu else [np.inf] * nu)
+        u_lb_all = np.maximum(np.asarray(self.bounds.u_lb), u_min)
+        u_ub_all = np.minimum(np.asarray(self.bounds.u_ub), u_max)
         ub_rows = L.r_u_bnd + ar(nuu)
         su_t = jnp.tile(su, N - 1)
         A = A.at[ub_rows[:, None], ar(nuu)[None, :]].set(su_t[:, None] * MU)
         lo = lo.at[ub_rows].set(
-            jnp.tile(jnp.asarray(self.bounds.u_lb, dtype=dtype), N - 1)
+            jnp.tile(jnp.asarray(u_lb_all, dtype=dtype), N - 1)
             - su_t * mu0)
         up = up.at[ub_rows].set(
-            jnp.tile(jnp.asarray(self.bounds.u_ub, dtype=dtype), N - 1)
+            jnp.tile(jnp.asarray(u_ub_all, dtype=dtype), N - 1)
             - su_t * mu0)
         # rate rows: su * dubar = su * (Gm v + gm)
         dub_rows = L.r_du_bnd + ar(nuu)
@@ -448,27 +493,69 @@ class RacingMPC:
             jnp.tile(jnp.asarray(self.bounds.du_ub, dtype=dtype), N - 1)
             - su_t * gm)
 
-        # ---- primal boxes (racing_mpc.cpp:147-148) ----------------------
-        # state boxes on stages 1..N-1 through the sensitivity rows
-        xb_rows = (L.r_x_box + ar((N - 1) * nx)).reshape(N - 1, nx)
-        A = A.at[L.r_x_box:L.r_x_box + (N - 1) * nx, :nuu].set(
-            F[1:].reshape((N - 1) * nx, nuu))
+        # ---- primal state boxes (racing_mpc.cpp:147) ---------------------
+        # stages 1..N-2 through the sensitivity rows (stage 0 is x_ic, the
+        # terminal state is unboxed — reference boxes i = 0..N-2 only).
+        # With q_state_slack > 0 the boxes are ELASTIC: two one-sided row
+        # blocks share one nonnegative slack (the boundary-slack pattern,
+        # racing_mpc.cpp:524-543), so a transiently unreachable box costs
+        # q_state_slack * slack^2 instead of making the QP infeasible.
+        nxb = (N - 2) * nx
+        xb_rows = L.r_x_box + ar(nxb)
+        Fx_rows = F[1:N - 1].reshape(nxb, nuu)
+        A = A.at[L.r_x_box:L.r_x_box + nxb, :nuu].set(Fx_rows)
         x_min = np.asarray(cfg.x_min if len(cfg.x_min) == nx else [-np.inf] * nx)
         x_max = np.asarray(cfg.x_max if len(cfg.x_max) == nx else [np.inf] * nx)
-        fx = f[1:].reshape(-1)
-        lo = lo.at[xb_rows.ravel()].set(
-            jnp.tile(jnp.asarray(x_min, dtype=dtype), N - 1) - fx)
-        up = up.at[xb_rows.ravel()].set(
-            jnp.tile(jnp.asarray(x_max, dtype=dtype), N - 1) - fx)
-        # control boxes (same affine map as the control-bound rows)
-        u_min = np.asarray(cfg.u_min if len(cfg.u_min) == nu else [-np.inf] * nu)
-        u_max = np.asarray(cfg.u_max if len(cfg.u_max) == nu else [np.inf] * nu)
-        ubox_rows = L.r_u_box + ar(nuu)
-        A = A.at[ubox_rows[:, None], ar(nuu)[None, :]].set(su_t[:, None] * MU)
-        lo = lo.at[ubox_rows].set(
-            jnp.tile(jnp.asarray(u_min, dtype=dtype), N - 1) - su_t * mu0)
-        up = up.at[ubox_rows].set(
-            jnp.tile(jnp.asarray(u_max, dtype=dtype), N - 1) - su_t * mu0)
+        fx = f[1:N - 1].reshape(-1)
+        xmin_t = jnp.tile(jnp.asarray(x_min, dtype=dtype), N - 2) - fx
+        xmax_t = jnp.tile(jnp.asarray(x_max, dtype=dtype), N - 2) - fx
+        if self.has_xslack:
+            # upper block: F v - slack <= xmax - f
+            A = A.at[xb_rows, L.sxb_off].set(-1.0)
+            up = up.at[xb_rows].set(xmax_t)
+            # lower block: F v + slack >= xmin - f
+            xl_rows = L.r_x_box_lo + ar(nxb)
+            A = A.at[L.r_x_box_lo:L.r_x_box_lo + nxb, :nuu].set(Fx_rows)
+            A = A.at[xl_rows, L.sxb_off].set(1.0)
+            lo = lo.at[xl_rows].set(xmin_t)
+            A = A.at[L.r_sxb, L.sxb_off].set(1.0)
+            lo = lo.at[L.r_sxb].set(0.0)
+        else:
+            lo = lo.at[xb_rows].set(xmin_t)
+            up = up.at[xb_rows].set(xmax_t)
+
+        # ---- nonlinear model constraints, linearized at the RTI reference
+        # (power v*fd <= P_max, (fd*fb)^2 <= 1, friction ellipse, v >= 0 —
+        # model.nl_constraints; racing_mpc.cpp:126-145 /
+        # kinematic_bicycle_model.cpp:99-104 /
+        # double_track_planar_model.cpp:106-126).  Rows over the condensed
+        # variables:  g_i + Gx (x_i - xr_i) + Gu (u_i - ur_i) <= 0  with
+        # x_i = F_i v + f_i and u_i = su * (MU v + mu0)_i.  solve_sqp
+        # re-linearizes them at every iterate like the dynamics rows.
+        n_nl = L.n_nl
+        if n_nl:
+            g0, Gx, Gu = _nl_linearize(
+                self.model, inp.X_ref[:-1], inp.U_ref,
+                inp.curvatures[:-1])                  # (N-1, n_nl[, ...])
+            MU_blk = MU.reshape(N - 1, nu, L.nuu)
+            mu0_blk = mu0.reshape(N - 1, nu)
+            Gu_s = Gu * su[None, None, :]             # d/d(ubar)
+            rows = (jnp.einsum('scx,sxv->scv', Gx, F[:-1])
+                    + jnp.einsum('scu,suv->scv', Gu_s, MU_blk))
+            rhs = (-g0
+                   + jnp.einsum('scx,sx->sc', Gx, inp.X_ref[:-1] - f[:-1])
+                   + jnp.einsum('scu,su->sc', Gu,
+                                inp.U_ref - su[None, :] * mu0_blk))
+            nl_rows = L.r_nl + ar((N - 1) * n_nl)
+            rows2 = rows.reshape((N - 1) * n_nl, L.nuu)
+            A = A.at[nl_rows[:, None], ar(L.nuu)[None, :]].set(rows2)
+            # a vanishing linearization (e.g. drive/brake exclusivity at
+            # fd = fb = 0 has zero gradient) leaves an (all-)zero row whose
+            # equilibration blows up and wrecks the whole solve; such rows
+            # are locally vacuous (g0 < 0 at the reference) -> deactivate
+            rn = jnp.max(jnp.abs(rows2), axis=1)
+            up = up.at[nl_rows].set(
+                jnp.where(rn > 1e-6, rhs.reshape(-1), jnp.inf))
 
         # ---- LMPC lambda simplex + (hard) hull (build_lmpc_cost) --------
         if cfg.learning:
@@ -506,7 +593,9 @@ class RacingMPC:
             # interior point restarts from the central path; the warm start
             # is not used (its value is in the shifted X_ref linearization).
             sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows,
-                              struct=self.qp_struct)
+                              struct=self.qp_struct,
+                              zoom_rounds=cfg.qp_zoom_rounds,
+                              zoom_iters=cfg.qp_zoom_iters or None)
         else:
             # warm_start_vector packs scaled controls ubar; the decision
             # variable under feedback-pre-stabilized condensing is v with
@@ -555,6 +644,28 @@ class RacingMPC:
             obj=sol.obj, solved=solved)
 
     # ------------------------------------------------------------------
+    def validate_struct(self, inp: MPCInput) -> None:
+        """Debug check: the built A matches the sparsity ``qp_struct``
+        promises to the IPM (ipm.py exploits it WITHOUT validating the
+        matrix content — only index contiguity is checked there, so a
+        layout change that breaks the pattern would silently corrupt the
+        structured matvecs).  Called from tests; cheap enough to call from
+        any new layout's integration test."""
+        data, _ = self._build_qp(inp)
+        A = np.asarray(data.A)
+        dr, nc, dgr, dgc = self.qp_struct
+        md = len(np.asarray(dr))
+        if not np.allclose(A[:md, nc:], 0.0):
+            raise AssertionError("qp_struct violated: dense rows touch "
+                                 f"columns >= nc={nc}")
+        dgr, dgc = np.asarray(dgr), np.asarray(dgc)
+        if len(dgr):
+            lam_rows = A[dgr].copy()
+            lam_rows[np.arange(len(dgr)), dgc] = 0.0
+            if not np.allclose(lam_rows, 0.0):
+                raise AssertionError("qp_struct violated: lambda rows are "
+                                     "not one-hot")
+
     def solve(self, inp: MPCInput, z_warm: Array | None = None) -> tuple[MPCOutput, Array]:
         """One RTI solve.  Returns (output, warm-start vector for the next
         call — scaled controls ubar in the leading block, matching

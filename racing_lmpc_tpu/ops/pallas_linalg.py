@@ -370,14 +370,16 @@ def chol_tri_inv_fused(H: Array, rows_per_program: int = 8,
 
 @jax.custom_batching.custom_vmap
 def chol_tri_inv(H: Array) -> Array:
-    """``L^-1`` for ``L = chol(H)`` — the IPM's per-iteration factorization.
+    """``L^-1`` for ``L = chol(H)`` — an ALTERNATE composed entry point.
 
-    Written per-sample (the IPM body is per-scenario code batched by an
-    outer ``vmap``), with a custom-vmap rule so the batched implementation
-    can be swapped per shape regime.  The measured default on v5e keeps the
-    XLA-pipelined unfused path (see `chol_tri_inv_fused`'s verdict for why
-    the Pallas fusion loses at the LMPC shapes); callers in small-n /
-    huge-batch regimes can use `chol_tri_inv_fused` directly.
+    The IPM (mpc/ipm.py) calls ``chol_lower`` and ``tri_inv_lower``
+    separately (it reuses the intermediate ``L``); this wrapper exists for
+    callers that want the composition as one swappable op: it carries a
+    custom-vmap rule so the batched implementation can be redirected per
+    shape regime.  The measured default on v5e keeps the XLA-pipelined
+    unfused path (see `chol_tri_inv_fused`'s verdict for why the Pallas
+    fusion loses at the LMPC shapes); callers in small-n / huge-batch
+    regimes can use `chol_tri_inv_fused` directly.
     """
     return tri_inv_lower(chol_lower(H))
 

@@ -16,6 +16,7 @@ process; see tests/test_multihost.py for a live two-process example.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import numpy as np
@@ -38,6 +39,15 @@ def initialize(coordinator_address: str, num_processes: int,
         platforms = jax.config.read("jax_platforms")
     except Exception:
         platforms = None
+    if not platforms:
+        # config unset: fall back to the environment, else assume the
+        # implicit default backend is CPU unless an accelerator plugin env
+        # is present — an unset value does NOT mean a non-CPU backend, and
+        # skipping gloo there breaks cross-process collectives.
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        if not platforms and not os.environ.get("PJRT_DEVICE") \
+                and not os.environ.get("TPU_NAME"):
+            platforms = "cpu"
     if platforms and "cpu" in str(platforms):
         try:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")

@@ -1,0 +1,60 @@
+"""Continuous-mode co-simulation + keepalive (racing_simulator_node.cpp:119-189).
+
+Covers VERDICT r1 item 6: the wall-clock (here: simulated-clock) continuous
+topology with the controller's delay compensation actually exercised
+(delay_step = 1, control/loop.py continuous branch), and the simulator's
+state-republish keepalive — actuation stops, the plant keeps integrating
+and publishing.
+"""
+
+import numpy as np
+import pytest
+
+from racing_lmpc_tpu.launch.runner import (
+    _SCENARIOS,
+    ContinuousCoSimulation,
+)
+
+
+@pytest.fixture(scope="module")
+def cont():
+    sim = ContinuousCoSimulation(
+        _SCENARIOS["barc_tracking_mpc"], sim_dt=0.01, n_override=10)
+    # 3 s of simulated time = 300 plant ticks, 120 controller cycles
+    summary = sim.run(300)
+    return sim, summary
+
+
+def test_continuous_mode_runs_with_delay_pick(cont):
+    sim, summary = cont
+    assert sim.cs.controller.delay_step == 1
+    assert sim.cs.controller.config.step_mode == "continuous"
+    assert summary["published_states"] == 300
+    assert summary["controller_cycles"] == 120  # 3 s / 25 ms
+    assert summary["fallback_rate"] <= 0.05
+    # the car actually drives: forward progress over 3 s at ~1.5+ m/s
+    s0 = sim.published[0].p.s
+    s1 = sim.published[-1].p.s
+    L = sim.cs.track.total_length
+    progress = (s1 - s0) % L
+    assert progress > 2.0, f"no progress in continuous mode: {progress}"
+    # stays on track
+    assert max(abs(m.p.x_tran) for m in sim.published) < 0.45
+
+
+def test_keepalive_when_actuation_stops():
+    sim = ContinuousCoSimulation(
+        _SCENARIOS["barc_tracking_mpc"], sim_dt=0.01, n_override=10)
+    # drop every actuation in t in [1.0, 1.5) s — a 0.5 s actuation outage
+    gate = lambda t: not (1.0 <= t < 1.5)
+    summary = sim.run(250, actuation_gate=gate)
+    # the keepalive kept the plant publishing at the full sim rate
+    assert summary["published_states"] == 250
+    # and the vehicle kept moving during the outage on the last command
+    ts = np.arange(250) * 0.01
+    s_vals = np.array([m.p.s for m in sim.published])
+    in_outage = (ts >= 1.0) & (ts < 1.5)
+    ds = np.diff(s_vals[in_outage])
+    L = sim.cs.track.total_length
+    ds = np.where(ds < -0.5 * L, ds + L, ds)
+    assert ds.min() > 0.0, "vehicle stopped during the actuation outage"

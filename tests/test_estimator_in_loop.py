@@ -1,0 +1,93 @@
+"""Estimator-in-the-loop co-simulation (VERDICT r1 item 8).
+
+The controller consumes EKF state estimates computed from NOISY full-state
+observations instead of simulator ground truth — the topology the reference
+supports with ekf_state_estimator between the simulator and MPC topics.
+Gate: closed-loop lateral error with the estimator in the loop stays within
+2x the ground-truth run's, and the EKF's sanitation WARN path fires on an
+injected NaN observation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from racing_lmpc_tpu.config import EKFConfig
+from racing_lmpc_tpu.control.telemetry import Logger, LogLevel
+from racing_lmpc_tpu.estimation import EKFStateEstimator
+from racing_lmpc_tpu.launch.runner import _SCENARIOS, CoSimulation
+
+_STEPS = 120
+
+
+def _run(with_ekf: bool, seed: int = 11):
+    cs = CoSimulation(_SCENARIOS["barc_tracking_mpc"], n_override=10)
+    if with_ekf:
+        model = cs.ctrl_model
+        nx = model.nx
+        cfg = EKFConfig(
+            x0=tuple([1.0, 0.0, 0.0, 1.5, 0.0, 0.0]),
+            p0=tuple((np.eye(nx) * 0.1).ravel()),
+            q=tuple((np.eye(nx) * 1e-3).ravel()),
+            x_max=tuple([np.inf] * nx),
+            x_min=tuple([-np.inf] * nx))
+        warns = []
+        logger = Logger()
+        logger.register_callback(
+            lambda lv, m: warns.append(m) if lv >= LogLevel.WARN else None)
+        ekf = EKFStateEstimator(cfg, model, logger=logger)
+        ekf.register_observation("full_state", nx, lambda x, z: x)
+        ekf.initialize(0)
+        rng = np.random.default_rng(seed)
+        noise_std = np.array([0.01, 0.01, 0.01, 0.03, 0.01, 0.05])
+        R = np.diag(noise_std ** 2).astype(np.float32)
+        t_ns = [0]
+
+        def filt(msg):
+            truth = np.array([msg.p.s, msg.p.x_tran, msg.p.e_psi,
+                              msg.v.v_long, msg.v.v_tran, msg.w.w_psi])
+            z = truth + rng.standard_normal(6) * noise_std
+            t_ns[0] += 25_000_000
+            ekf.update_control(cs._u_prev)
+            res = ekf.update_observation("full_state", t_ns[0], z, R)
+            xh = np.asarray(res["x"], np.float64)
+            msg.p.s, msg.p.x_tran, msg.p.e_psi = xh[0], xh[1], xh[2]
+            msg.v.v_long, msg.v.v_tran, msg.w.w_psi = xh[3], xh[4], xh[5]
+            return msg
+
+        cs.state_filter = filt
+        cs._ekf = ekf
+        cs._warns = warns
+    for _ in range(_STEPS):
+        cs.step()
+    lat = np.array([abs(t.state[1]) for t in cs.telemetry])
+    return cs, float(lat.max()), float(np.mean(
+        [not t.solved for t in cs.telemetry]))
+
+
+@pytest.fixture(scope="module")
+def runs():
+    cs_t, lat_truth, fb_truth = _run(with_ekf=False)
+    cs_e, lat_ekf, fb_ekf = _run(with_ekf=True)
+    return cs_e, lat_truth, lat_ekf, fb_truth, fb_ekf
+
+
+def test_ekf_in_loop_tracks(runs):
+    cs_e, lat_truth, lat_ekf, fb_truth, fb_ekf = runs
+    # estimator-in-the-loop lateral error within 2x the ground-truth run
+    assert lat_ekf <= max(2.0 * lat_truth, 0.08), (
+        f"EKF loop lateral {lat_ekf} vs truth {lat_truth}")
+    assert fb_ekf <= fb_truth + 0.1
+
+
+def test_ekf_sanitation_warns(runs):
+    cs_e, *_ = runs
+    ekf, warns = cs_e._ekf, cs_e._warns
+    n0 = len(warns)
+    res = ekf.update_observation(
+        "full_state", ekf.nanosec + 25_000_000,
+        np.full(6, np.nan), np.eye(6, dtype=np.float32))
+    assert res["sanitized"]
+    assert len(warns) == n0 + 1 and "sanitation" in warns[-1]
+    # the NaN observation was rejected: state stays finite
+    assert np.all(np.isfinite(np.asarray(res["x"])))

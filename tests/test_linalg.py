@@ -116,3 +116,45 @@ def test_chol_tri_inv_custom_vmap():
     Li_ref = np.linalg.inv(np.linalg.cholesky(H.astype(np.float64)))
     assert np.abs(one - Li_ref[0]).max() < 1e-4
     assert np.abs(batched - Li_ref).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# compensated (double-word) f32 arithmetic — ops/compensated.py
+# ---------------------------------------------------------------------------
+
+def test_compensated_matvec_beats_f32_floor():
+    """A @ x in compensated f32 must match numpy f64 far below the plain-f32
+    rounding floor — this is what the zoomed QP refinement stands on."""
+    from racing_lmpc_tpu.ops.compensated import matvec_compensated
+    rng = np.random.default_rng(3)
+    A64 = rng.standard_normal((137, 201))
+    x64 = rng.standard_normal(201)
+    A = jnp.asarray(A64, jnp.float32)
+    x = jnp.asarray(x64, jnp.float32)
+    # the comparison target uses the f32-ROUNDED data at f64 (the compensated
+    # matvec cannot know the pre-rounding values)
+    ref = np.asarray(A, np.float64) @ np.asarray(x, np.float64)
+    hi, lo = jax.jit(matvec_compensated)(A, x)
+    err_comp = np.abs((np.asarray(hi, np.float64)
+                       + np.asarray(lo, np.float64)) - ref).max()
+    err_plain = np.abs(np.asarray(A @ x, np.float64) - ref).max()
+    assert err_comp < 1e-11, err_comp
+    assert err_comp < err_plain / 100.0
+
+
+def test_compensated_cancellation():
+    """Residual-style cancellation: b - A x with b = fl(A x) must resolve the
+    true tiny remainder, not f32 noise."""
+    from racing_lmpc_tpu.ops.compensated import (
+        matvec_compensated, two_sum)
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    b = A @ x    # plain f32 product, carries ~1e-7 rounding
+    hi, lo = matvec_compensated(A, x)
+    # r = b - (A x) exactly: the compensated value of the residual
+    rh, e = two_sum(b, -hi)
+    r = np.asarray(rh, np.float64) + np.asarray(e - lo, np.float64)
+    ref = (np.asarray(b, np.float64)
+           - np.asarray(A, np.float64) @ np.asarray(x, np.float64))
+    assert np.abs(r - ref).max() < 1e-12

