@@ -26,9 +26,39 @@ def make_mesh(devices=None, axis: str = "batch") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def shard_batch(tree: Any, mesh: Mesh, axis: str = "batch") -> Any:
-    """Shard every leaf along its leading (batch) dimension."""
-    sharding = NamedSharding(mesh, P(axis))
+def make_mesh_2d(devices=None, axes=("host", "batch"),
+                 host_size: int | None = None) -> Mesh:
+    """2-D ``(host, batch)`` mesh: the production multi-host topology.
+
+    The outer axis maps to hosts (collectives ride DCN), the inner axis to
+    the chips of each host (collectives ride ICI).  The scenario batch is
+    sharded over BOTH axes — `P(("host", "batch"))` on the leading dim — so
+    the same jitted solve covers 1 host and many; only the mesh changes.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if host_size is None:
+        # prefer the real host partition when running multi-process;
+        # otherwise emulate 2 hosts on an even device count
+        host_size = jax.process_count() if jax.process_count() > 1 else (
+            2 if n % 2 == 0 and n >= 2 else 1)
+    assert n % host_size == 0, (n, host_size)
+    return Mesh(np.asarray(devices).reshape(host_size, n // host_size), axes)
+
+
+def _leading_spec(mesh: Mesh, axis) -> P:
+    """PartitionSpec sharding the leading dim over the given axis name(s)."""
+    return P(tuple(axis) if isinstance(axis, (tuple, list)) else axis)
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis="batch") -> Any:
+    """Shard every leaf along its leading (batch) dimension.
+
+    ``axis`` may be one mesh axis name or a tuple of names (2-D mesh: the
+    batch dim is split over host x chip).
+    """
+    sharding = NamedSharding(mesh, _leading_spec(mesh, axis))
 
     def put(leaf):
         leaf = jnp.asarray(leaf)
@@ -44,19 +74,44 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda l: jax.device_put(jnp.asarray(l), sharding), tree)
 
 
-def sharded_batch_solver(solve_one: Callable, mesh: Mesh, axis: str = "batch"):
+def sharded_batch_solver(solve_one: Callable, mesh: Mesh, axis="batch"):
     """jit a vmapped per-scenario solver with batch-dim sharding constraints.
 
     ``solve_one(*args)`` solves a single scenario; the returned callable
     takes leading-batch-dim args (already sharded via ``shard_batch``) and
-    keeps outputs sharded along the same axis.
+    keeps outputs sharded along the same axis (or axes, on a 2-D mesh).
     """
     batched = jax.vmap(solve_one)
 
     def constrained(*args):
         out = batched(*args)
-        spec = NamedSharding(mesh, P(axis))
+        spec = NamedSharding(mesh, _leading_spec(mesh, axis))
         return jax.tree.map(
             lambda l: jax.lax.with_sharding_constraint(l, spec)
             if getattr(l, "ndim", 0) > 0 else l, out)
     return jax.jit(constrained)
+
+
+def sharded_metrics(solved, cost, mesh: Mesh):
+    """Cross-shard fleet metrics via explicit XLA collectives.
+
+    The reference aggregates per-cycle diagnostics inside one process
+    (racing_mpc_node.cpp:373-384); the fleet-scale twin reduces across every
+    shard of the mesh: ``psum`` for the solved fraction, ``pmin`` for the
+    best (minimum) objective — the collectives ride ICI within a host and
+    DCN across hosts.  Returns replicated scalars (solved_fraction,
+    min_cost).
+    """
+    axes = tuple(mesh.axis_names)
+    in_spec = P(axes)
+
+    def _m(s, c):
+        n_solved = jax.lax.psum(jnp.sum(s.astype(jnp.float32)), axes)
+        n_total = jax.lax.psum(
+            jnp.full((), s.shape[0], dtype=jnp.float32), axes)
+        cmin = jax.lax.pmin(jnp.min(c), axes)
+        return n_solved / n_total, cmin
+
+    fn = jax.shard_map(_m, mesh=mesh, in_specs=(in_spec, in_spec),
+                       out_specs=(P(), P()))
+    return jax.jit(fn)(solved, cost)

@@ -58,6 +58,43 @@ out, _ = solver(inp_s, z_s, valid_s)
 
 # cross-host reduction (XLA inserts the psum over DCN/gloo)
 solved_frac = float(jnp.mean(out.solved.astype(jnp.float32)))
+
+# explicit-collective metrics path (psum solved fraction, pmin objective)
+from racing_lmpc_tpu.parallel import sharded_metrics  # noqa: E402
+frac2, min_cost = sharded_metrics(out.solved, out.obj, mesh)
+assert abs(float(frac2) - solved_frac) < 1e-6
+
+# ---- weak-scaling efficiency over the live 2-process gloo group ---------
+# per-process work is fixed (batch/nproc scenarios on 2 local devices); the
+# multi-process run adds only the cross-process collective overhead, so
+# efficiency = t_local / t_global (1.0 = perfect).
+import time  # noqa: E402
+from racing_lmpc_tpu.parallel import make_mesh, shard_batch  # noqa: E402
+
+local_batch = batch // nproc
+inp_l = jax.tree.map(lambda a: a[:local_batch], inp)
+z_l, valid_l = z[:local_batch], valid[:local_batch]
+mesh_l = make_mesh(jax.local_devices())
+solver_l = sharded_batch_solver(mpc._solve_impl, mesh_l)
+args_l = (shard_batch(inp_l, mesh_l), shard_batch(z_l, mesh_l),
+          shard_batch(valid_l, mesh_l))
+solver_l(*args_l)[0].U_optm.block_until_ready()  # warm
+
+REPS = 10
+
+
+def _time(fn, args):
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn(*args)[0].U_optm.block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+t_local = _time(solver_l, args_l)
+t_global = _time(solver, (inp_s, z_s, valid_s))
+weakscale = t_local / t_global
 # gather the sharded horizon back to every host
 U = distributed.process_allgather(out.U_optm)
 assert U.shape == (batch, mpc.N - 1, mpc.nu)
@@ -68,4 +105,6 @@ out_ref, _ = jax.jit(jax.vmap(mpc._solve_impl))(inp, z, valid)
 np.testing.assert_allclose(U, np.asarray(out_ref.U_optm), atol=2e-3)
 
 print(f"MULTIHOST_OK pid={pid} solved={solved_frac:.4f} "
-      f"checksum={float(np.sum(U)):.6f}", flush=True)
+      f"checksum={float(np.sum(U)):.6f} min_cost={float(min_cost):.6f} "
+      f"weakscale={weakscale:.4f} t_local_ms={t_local * 1e3:.2f} "
+      f"t_global_ms={t_global * 1e3:.2f}", flush=True)

@@ -14,7 +14,9 @@ import pytest
 
 from racing_lmpc_tpu.benchmarks import (
     build_barc_lmpc, make_scenario_batch, scaling_bench)
-from racing_lmpc_tpu.parallel import make_mesh, shard_batch, sharded_batch_solver
+from racing_lmpc_tpu.parallel import (
+    make_mesh, make_mesh_2d, shard_batch, sharded_batch_solver,
+    sharded_metrics)
 
 
 @pytest.fixture(scope="module")
