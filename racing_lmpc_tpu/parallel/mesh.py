@@ -10,7 +10,7 @@ multi-host identically — only the mesh changes.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Callable
 
 import numpy as np
@@ -44,6 +44,10 @@ def make_mesh_2d(devices=None, axes=("host", "batch"),
         host_size = jax.process_count() if jax.process_count() > 1 else (
             2 if n % 2 == 0 and n >= 2 else 1)
     assert n % host_size == 0, (n, host_size)
+    # jax.devices() ordering is NOT guaranteed host-contiguous on real
+    # multi-host topologies; sort by (process, id) so each mesh row holds
+    # one host's chips and the inner-axis collectives actually ride ICI.
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     return Mesh(np.asarray(devices).reshape(host_size, n // host_size), axes)
 
 
@@ -92,16 +96,12 @@ def sharded_batch_solver(solve_one: Callable, mesh: Mesh, axis="batch"):
     return jax.jit(constrained)
 
 
-def sharded_metrics(solved, cost, mesh: Mesh):
-    """Cross-shard fleet metrics via explicit XLA collectives.
-
-    The reference aggregates per-cycle diagnostics inside one process
-    (racing_mpc_node.cpp:373-384); the fleet-scale twin reduces across every
-    shard of the mesh: ``psum`` for the solved fraction, ``pmin`` for the
-    best (minimum) objective — the collectives ride ICI within a host and
-    DCN across hosts.  Returns replicated scalars (solved_fraction,
-    min_cost).
-    """
+@lru_cache(maxsize=None)
+def _metrics_fn(mesh: Mesh) -> Callable:
+    """Build (once per mesh) the jitted cross-shard metrics reduction;
+    jit's own trace cache then handles per-shape retraces.  Building the
+    shard_map + jit inside each call would miss the trace cache every time
+    (~70 ms/call on the 8-device CPU mesh — a per-control-cycle cost)."""
     axes = tuple(mesh.axis_names)
     in_spec = P(axes)
 
@@ -109,9 +109,25 @@ def sharded_metrics(solved, cost, mesh: Mesh):
         n_solved = jax.lax.psum(jnp.sum(s.astype(jnp.float32)), axes)
         n_total = jax.lax.psum(
             jnp.full((), s.shape[0], dtype=jnp.float32), axes)
-        cmin = jax.lax.pmin(jnp.min(c), axes)
+        # mask BEFORE reducing: for unsolved scenarios `c` is the last IPM
+        # iterate's objective (possibly infeasible garbage) and must not
+        # undercut a valid solution; all-unsolved reduces to +inf.
+        cmin = jax.lax.pmin(
+            jnp.min(jnp.where(s, c, jnp.inf), initial=jnp.inf), axes)
         return n_solved / n_total, cmin
 
-    fn = jax.shard_map(_m, mesh=mesh, in_specs=(in_spec, in_spec),
-                       out_specs=(P(), P()))
-    return jax.jit(fn)(solved, cost)
+    return jax.jit(jax.shard_map(_m, mesh=mesh, in_specs=(in_spec, in_spec),
+                                 out_specs=(P(), P())))
+
+
+def sharded_metrics(solved, cost, mesh: Mesh):
+    """Cross-shard fleet metrics via explicit XLA collectives.
+
+    The reference aggregates per-cycle diagnostics inside one process
+    (racing_mpc_node.cpp:373-384); the fleet-scale twin reduces across every
+    shard of the mesh: ``psum`` for the solved fraction, ``pmin`` for the
+    best (minimum) objective over SOLVED scenarios — the collectives ride
+    ICI within a host and DCN across hosts.  Returns replicated scalars
+    (solved_fraction, min_cost); min_cost is +inf when nothing solved.
+    """
+    return _metrics_fn(mesh)(solved, cost)

@@ -58,6 +58,49 @@ def test_sharding_layout(problem):
     assert len(inp_s.x_ic.addressable_shards) == 8
 
 
+def test_mesh2d_solve_and_metrics(problem):
+    """(host, batch) 2-D mesh: sharded solve matches vmap, and the
+    explicit-collective metrics reduce to the known values (masked min)."""
+    mpc, inp, z, valid = problem
+    out_ref, _ = jax.jit(jax.vmap(mpc._solve_impl))(inp, z, valid)
+
+    mesh = make_mesh_2d(jax.devices()[:8], host_size=2)
+    assert mesh.devices.shape == (2, 4)
+    axes = ("host", "batch")
+    inp_s, z_s, valid_s = (shard_batch(x, mesh, axis=axes)
+                           for x in (inp, z, valid))
+    solver = sharded_batch_solver(mpc._solve_impl, mesh, axis=axes)
+    out_sh, _ = solver(inp_s, z_s, valid_s)
+    np.testing.assert_allclose(
+        np.asarray(out_sh.U_optm), np.asarray(out_ref.U_optm), atol=2e-3)
+
+    # metrics with every scenario solved: frac = 1, min over all objs
+    frac, cmin = sharded_metrics(out_sh.solved, out_sh.obj, mesh)
+    assert float(frac) == pytest.approx(
+        float(jnp.mean(out_sh.solved.astype(jnp.float32))))
+    np.testing.assert_allclose(float(cmin), float(jnp.min(out_sh.obj)),
+                               rtol=1e-6)
+
+    # masked min: mark the global-min scenario unsolved; the reduction must
+    # skip its objective.  All-unsolved reduces to +inf.
+    obj = np.asarray(out_sh.obj)
+    solved = np.asarray(out_sh.solved).copy()
+    solved[np.argmin(obj)] = False
+    frac2, cmin2 = sharded_metrics(
+        shard_batch(jnp.asarray(solved), mesh, axis=axes),
+        shard_batch(jnp.asarray(obj), mesh, axis=axes), mesh)
+    assert float(frac2) == pytest.approx(solved.mean())
+    np.testing.assert_allclose(float(cmin2), obj[solved].min(), rtol=1e-6)
+    _, cmin3 = sharded_metrics(
+        shard_batch(jnp.zeros_like(out_sh.solved), mesh, axis=axes),
+        shard_batch(jnp.asarray(obj), mesh, axis=axes), mesh)
+    assert float(cmin3) == np.inf
+
+    # the builder is cached per mesh: no re-jit on repeated calls
+    from racing_lmpc_tpu.parallel.mesh import _metrics_fn
+    assert _metrics_fn(mesh) is _metrics_fn(mesh)
+
+
 def test_scaling_bench_runs():
     res = scaling_bench(device_counts=[1, 2], batch_per_device=4,
                         n_horizon=6, num_ss=8, reps=1)
