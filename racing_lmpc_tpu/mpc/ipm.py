@@ -57,52 +57,17 @@ _RIDGE_REL = 1e-5
 _RIDGE_ZOOM_REL = 0.0
 
 
-def _ipm_core(data: QPData, iters: int, delta: float,
-              eq_rows: Array | None = None,
-              trace: bool = False,
-              struct=None):
-    """IPM on (scaled) data.  Returns (x, y) with y the OSQP-convention dual
-    (y = z_u - z_l, positive on active upper bounds).
+def _struct_matvecs(A: Array, struct, eq_rows, n: int, m: int, dtype):
+    """Structured (Amv, ATmv) closures for the MPC QP's row layout.
 
-    ``eq_rows``: optional STATIC index array of the equality rows (known at
-    problem-build time for the MPC QPs).  When given, each Newton system is
-    solved by condensed Cholesky + Schur complement on the compact equality
-    block — two pivot-free batched factorizations instead of one pivoted LU
-    of the full (n+m) KKT, which is the difference between ~1% and decent
-    MXU utilization on TPU.
+    The MPC QP's rows are three contiguous blocks (RacingMPC.qp_struct):
+    dense rows touching only the leading nc columns, one-hot lambda rows,
+    and the equality rows.  Exploiting that turns every (m, n) matvec on
+    the iteration path into an (md, nc) matvec + an elementwise product —
+    ~2.6x less HBM traffic per product, numerically identical (the
+    dropped terms are exact zeros).  Falls back to dense A when the
+    contiguity invariants don't hold (generic callers).
     """
-    P, q, A, l, u = data
-    n = P.shape[0]
-    m = A.shape[0]
-    dtype = P.dtype
-
-    finite_l = jnp.isfinite(l)
-    finite_u = jnp.isfinite(u)
-    # relative gap test: the bounds arrive Ruiz-SCALED (rows multiplied by
-    # E in [1e-4, 1e4]); an absolute threshold would silently pin
-    # tight-but-distinct inequalities on small-E rows to their upper bound
-    is_eq = finite_l & finite_u & (
-        jnp.abs(u - l) < 1e-9 * jnp.maximum(1.0, jnp.abs(u) + jnp.abs(l)))
-    if eq_rows is not None:
-        is_eq = jnp.zeros(m, dtype=bool).at[eq_rows].set(True)
-    has_l = finite_l & ~is_eq
-    has_u = finite_u & ~is_eq
-    n_barrier = jnp.maximum(jnp.sum(has_l) + jnp.sum(has_u), 1).astype(dtype)
-
-    l_safe = jnp.where(has_l, l, 0.0)
-    u_safe = jnp.where(has_u, u, 0.0)
-    b_eq = jnp.where(is_eq, u, 0.0)
-    eq = is_eq.astype(dtype)
-    A_eq = A * eq[:, None]
-
-    # --- structured matvecs -------------------------------------------
-    # The MPC QP's rows are three contiguous blocks (RacingMPC.qp_struct):
-    # dense rows touching only the leading nc columns, one-hot lambda rows,
-    # and the equality rows.  Exploiting that turns every (m, n) matvec on
-    # the iteration path into an (md, nc) matvec + an elementwise product —
-    # ~2.6x less HBM traffic per product, numerically identical (the
-    # dropped terms are exact zeros).  Falls back to dense A when the
-    # contiguity invariants don't hold (generic callers).
     Amv = lambda x: A @ x                                    # noqa: E731
     ATmv = lambda w: A.T @ w                                 # noqa: E731
     if struct is not None and eq_rows is not None:
@@ -141,6 +106,156 @@ def _ipm_core(data: QPData, iters: int, delta: float,
                 if _me:
                     out = out + Ae_mv.T @ w[_md + _Kd:]
                 return out
+    return Amv, ATmv
+
+
+def _condensed_solver_factory(P: Array, A: Array, eq_rows, struct,
+                              delta: float, reg_min):
+    """Pivot-free Newton-KKT solver builder for the condensed MPC QP.
+
+    With the equality rows known statically the Newton KKT
+    ``[[H, Ae'], [Ae, -delta I]]`` is solved by Cholesky of H (SPD) + a
+    Cholesky of the Schur complement ``S = Ae H^-1 Ae' + delta I`` (SPD).
+    Both are PIVOT-FREE — XLA's batched Cholesky/trsm on TPU run as blocked
+    matmul pipelines, whereas the pivoted-LU custom call this replaces cost
+    31 ms/iter (profiled: 7 x 4.4 ms block inversions per LDL^T).
+
+    Returns ``make_solver(D, delta_p)`` where D is the barrier/penalty row
+    weight vector; the returned ``solve(r1, r2, refine=True)`` solves the
+    KKT with one f32 iterative-refinement round.  Shared by the IPM core,
+    its penalty polish, and the active-set refinement in ``solve_qp_ip``.
+    """
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+    I_n = jnp.eye(n, dtype=dtype)
+    # f32 stability: the barrier weights D span ~[1e-8, 1e8]; clipping
+    # them to D_CAP bounds cond(H) so the Cholesky cannot break down,
+    # and one round of iterative refinement on the EXACT (unclipped)
+    # KKT restores the Newton direction to the accuracy the 1e-3
+    # control-match budget needs.
+    D_CAP = 1e6
+    Ae = A[eq_rows]                      # (m_eq, n), static shape
+    me = Ae.shape[0]
+    I_me = jnp.eye(me, dtype=dtype)
+
+    from racing_lmpc_tpu.ops.pallas_linalg import chol_lower, tri_inv_lower
+
+    if struct is not None:
+        # static sparsity of A (see RacingMPC.qp_struct): dense rows hit
+        # only the leading nc columns; diag rows are one-hot.  The
+        # A'DA product shrinks from (n, m)x(m, n) to (nc, md)x(md, nc).
+        dense_rows, nc, diag_rows, diag_cols = struct
+        Ad = A[np.asarray(dense_rows)][:, :nc]          # (md, nc) static
+        a_diag2 = jnp.square(A[np.asarray(diag_rows), np.asarray(diag_cols)])
+
+    def form_AtDA(Dc):
+        # NOTE: stays at the ambient HIGHEST matmul precision — dropping
+        # this one product to HIGH (3-pass) was measured at +5% speed
+        # but -2.5% solved fraction; the barrier weights make the
+        # normal-equations product the precision-critical op.
+        if struct is None:
+            return (A.T * Dc) @ A
+        Hd = (Ad.T * Dc[np.asarray(dense_rows)]) @ Ad
+        dvec = jnp.zeros((n,), dtype=dtype)
+        if len(np.asarray(diag_cols)):
+            dvec = dvec.at[np.asarray(diag_cols)].add(
+                Dc[np.asarray(diag_rows)] * a_diag2)
+        H = jnp.diag(dvec)
+        return H.at[:nc, :nc].add(Hd)
+
+    def make_solver(D, delta_p=reg_min):
+        Dc = jnp.minimum(D, D_CAP)
+        H = P + delta_p * I_n + form_AtDA(Dc)
+        # Jacobi pre-scaling: the barrier weights put a ~1e12 spread on
+        # diag(H), far beyond f32 Cholesky breakdown (~1e7); normalizing
+        # to unit diagonal moves the spread out of the factorization.
+        # H = S^-1 Hs S^-1 with S = rsqrt(diag H), Hs unit-diagonal.
+        s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
+        Hs = H * s[:, None] * s[None, :]
+        # in-house blocked Cholesky: XLA's `cholesky` custom call gets a
+        # batch-minormost layout inside this program and runs ~60x slower
+        # (2.44 ms/iter vs 0.04 ms at (256, 87, 87), profiled on v5e).
+        L = chol_lower(Hs)
+        # explicit blocked inverse of L: every subsequent KKT solve is a
+        # matmul on the MXU; XLA's triangular_solve custom call blows the
+        # scoped-VMEM limit at (batch 256, n 87+) and cannot be used here.
+        Li = tri_inv_lower(L) * s[None, :]               # L^-1 S
+
+        if me == 0:
+            def solve(r1, r2, refine=True):
+                x = Li.T @ (Li @ r1)
+                if refine:
+                    rx = r1 - H @ x
+                    x = x + Li.T @ (Li @ rx)
+                return x, jnp.zeros(m, dtype=dtype)
+            return solve
+
+        T = Li @ Ae.T                                    # (S L)^-1 Ae'
+        S_sc = T.T @ T + delta * I_me
+        Lsi = tri_inv_lower(chol_lower(S_sc))
+
+        def kkt_solve(r1, r2c):
+            z = Li @ r1
+            y = Lsi.T @ (Lsi @ (T.T @ z - r2c))
+            x = Li.T @ (z - T @ y)
+            return x, y
+
+        def solve(r1, r2, refine=True):
+            r2c = r2[eq_rows]
+            x, y = kkt_solve(r1, r2c)
+            if refine:
+                # one refinement round against the clipped KKT (f32)
+                rx = r1 - (H @ x + Ae.T @ y)
+                ry = r2c - (Ae @ x - delta * y)
+                x2, y2 = kkt_solve(rx, ry)
+                x, y = x + x2, y + y2
+            dy = jnp.zeros(m, dtype=dtype).at[eq_rows].set(y)
+            return x, dy
+        return solve
+
+    return make_solver
+
+
+def _ipm_core(data: QPData, iters: int, delta: float,
+              eq_rows: Array | None = None,
+              trace: bool = False,
+              struct=None):
+    """IPM on (scaled) data.  Returns (x, y) with y the OSQP-convention dual
+    (y = z_u - z_l, positive on active upper bounds).
+
+    ``eq_rows``: optional STATIC index array of the equality rows (known at
+    problem-build time for the MPC QPs).  When given, each Newton system is
+    solved by condensed Cholesky + Schur complement on the compact equality
+    block (see ``_condensed_solver_factory``) — two pivot-free batched
+    factorizations instead of one pivoted LU of the full (n+m) KKT, which
+    is the difference between ~1% and decent MXU utilization on TPU.
+    """
+    P, q, A, l, u = data
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+
+    finite_l = jnp.isfinite(l)
+    finite_u = jnp.isfinite(u)
+    # relative gap test: the bounds arrive Ruiz-SCALED (rows multiplied by
+    # E in [1e-4, 1e4]); an absolute threshold would silently pin
+    # tight-but-distinct inequalities on small-E rows to their upper bound
+    is_eq = finite_l & finite_u & (
+        jnp.abs(u - l) < 1e-9 * jnp.maximum(1.0, jnp.abs(u) + jnp.abs(l)))
+    if eq_rows is not None:
+        is_eq = jnp.zeros(m, dtype=bool).at[eq_rows].set(True)
+    has_l = finite_l & ~is_eq
+    has_u = finite_u & ~is_eq
+    n_barrier = jnp.maximum(jnp.sum(has_l) + jnp.sum(has_u), 1).astype(dtype)
+
+    l_safe = jnp.where(has_l, l, 0.0)
+    u_safe = jnp.where(has_u, u, 0.0)
+    b_eq = jnp.where(is_eq, u, 0.0)
+    eq = is_eq.astype(dtype)
+    A_eq = A * eq[:, None]
+
+    Amv, ATmv = _struct_matvecs(A, struct, eq_rows, n, m, dtype)
 
     I_n = jnp.eye(n, dtype=dtype)
     # trivial rows (nu_i = 0) for non-equality rows keep the KKT full-rank
@@ -151,108 +266,14 @@ def _ipm_core(data: QPData, iters: int, delta: float,
     REG_MAX = jnp.asarray(1e-1, dtype)
 
     if eq_rows is not None:
-        # Condensed SPD path: with the equality rows known statically the
-        # Newton KKT  [[H, Ae'], [Ae, -delta I]]  is solved by Cholesky of
-        # H (SPD) + Cholesky of the Schur complement S = Ae H^-1 Ae' + dI
-        # (SPD).  Both are PIVOT-FREE — XLA's batched Cholesky/trsm on TPU
-        # run as blocked matmul pipelines (~0.2 ms/iter at batch 256),
-        # whereas the pivoted-LU custom call this replaces cost 31 ms/iter
-        # (profiled: 7 x 4.4 ms block inversions per LDL^T factorization).
-        #
-        # f32 stability: the barrier weights D span ~[1e-8, 1e8]; clipping
-        # them to D_CAP bounds cond(H) so the Cholesky cannot break down,
-        # and one round of iterative refinement on the EXACT (unclipped)
-        # KKT restores the Newton direction to the accuracy the 1e-3
-        # control-match budget needs.  (An inexact-Newton step from the
-        # clipped system alone is already descent-direction-correct; the
-        # refinement mostly tightens the last IPM iterations.)
-        D_CAP = 1e6
-        # primal proximal regularization: with the condensed QP every
-        # variable carries curvature (R/R_d/q_boundary/hull/barrier), so a
-        # light lift keeps chol(H) f32-safe without biasing the direction.
-        # This is the FLOOR of a Levenberg-style adaptive value carried
-        # through the iteration: a Cholesky breakdown (batched TPU rounding
-        # can leave H marginally indefinite where the unbatched kernel
-        # succeeds) escalates it so the next factorization goes through,
-        # instead of freezing the solver on a permanently-NaN H.
-        Ae = A[eq_rows]                      # (m_eq, n), static shape
-        me = Ae.shape[0]
-        I_me = jnp.eye(me, dtype=dtype)
-
-        from racing_lmpc_tpu.ops.pallas_linalg import chol_lower, tri_inv_lower
-
-        if struct is not None:
-            # static sparsity of A (see RacingMPC.qp_struct): dense rows hit
-            # only the leading nc columns; diag rows are one-hot.  The
-            # A'DA product shrinks from (n, m)x(m, n) to (nc, md)x(md, nc).
-            dense_rows, nc, diag_rows, diag_cols = struct
-            Ad = A[np.asarray(dense_rows)][:, :nc]          # (md, nc) static
-            a_diag2 = jnp.square(A[np.asarray(diag_rows), np.asarray(diag_cols)])
-
-        def form_AtDA(Dc):
-            # NOTE: stays at the ambient HIGHEST matmul precision — dropping
-            # this one product to HIGH (3-pass) was measured at +5% speed
-            # but -2.5% solved fraction; the barrier weights make the
-            # normal-equations product the precision-critical op.
-            if struct is None:
-                return (A.T * Dc) @ A
-            Hd = (Ad.T * Dc[np.asarray(dense_rows)]) @ Ad
-            dvec = jnp.zeros((n,), dtype=dtype)
-            if len(np.asarray(diag_cols)):
-                dvec = dvec.at[np.asarray(diag_cols)].add(
-                    Dc[np.asarray(diag_rows)] * a_diag2)
-            H = jnp.diag(dvec)
-            return H.at[:nc, :nc].add(Hd)
-
-        def make_solver(D, delta_p=REG_MIN):
-            Dc = jnp.minimum(D, D_CAP)
-            H = P + delta_p * I_n + form_AtDA(Dc)
-            # Jacobi pre-scaling: the barrier weights put a ~1e12 spread on
-            # diag(H), far beyond f32 Cholesky breakdown (~1e7); normalizing
-            # to unit diagonal moves the spread out of the factorization.
-            # H = S^-1 Hs S^-1 with S = rsqrt(diag H), Hs unit-diagonal.
-            s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
-            Hs = H * s[:, None] * s[None, :]
-            # in-house blocked Cholesky: XLA's `cholesky` custom call gets a
-            # batch-minormost layout inside this program and runs ~60x slower
-            # (2.44 ms/iter vs 0.04 ms at (256, 87, 87), profiled on v5e).
-            L = chol_lower(Hs)
-            # explicit blocked inverse of L: every subsequent KKT solve is a
-            # matmul on the MXU; XLA's triangular_solve custom call blows the
-            # scoped-VMEM limit at (batch 256, n 87+) and cannot be used here.
-            Li = tri_inv_lower(L) * s[None, :]               # L^-1 S
-
-            if me == 0:
-                def solve(r1, r2, refine=True):
-                    x = Li.T @ (Li @ r1)
-                    if refine:
-                        rx = r1 - H @ x
-                        x = x + Li.T @ (Li @ rx)
-                    return x, jnp.zeros(m, dtype=dtype)
-                return solve
-
-            T = Li @ Ae.T                                    # (S L)^-1 Ae'
-            S_sc = T.T @ T + delta * I_me
-            Lsi = tri_inv_lower(chol_lower(S_sc))
-
-            def kkt_solve(r1, r2c):
-                z = Li @ r1
-                y = Lsi.T @ (Lsi @ (T.T @ z - r2c))
-                x = Li.T @ (z - T @ y)
-                return x, y
-
-            def solve(r1, r2, refine=True):
-                r2c = r2[eq_rows]
-                x, y = kkt_solve(r1, r2c)
-                if refine:
-                    # one refinement round against the clipped KKT (f32)
-                    rx = r1 - (H @ x + Ae.T @ y)
-                    ry = r2c - (Ae @ x - delta * y)
-                    x2, y2 = kkt_solve(rx, ry)
-                    x, y = x + x2, y + y2
-                dy = jnp.zeros(m, dtype=dtype).at[eq_rows].set(y)
-                return x, dy
-            return solve
+        # Condensed SPD path.  The light primal proximal lift REG_MIN is
+        # the FLOOR of a Levenberg-style adaptive value carried through the
+        # iteration: a Cholesky breakdown (batched TPU rounding can leave H
+        # marginally indefinite where the unbatched kernel succeeds)
+        # escalates it so the next factorization goes through, instead of
+        # freezing the solver on a permanently-NaN H.
+        make_solver = _condensed_solver_factory(
+            P, A, eq_rows, struct, delta, REG_MIN)
     else:
         def make_solver(D, delta_p=REG_MIN):
             H = P + (delta + delta_p) * I_n + (A.T * D) @ A
@@ -467,7 +488,8 @@ def _ipm_core(data: QPData, iters: int, delta: float,
 def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
                 scale: bool = True, eq_rows: Array | None = None,
                 struct=None, zoom_rounds: int = 1,
-                zoom_iters: int | None = None) -> QPSolution:
+                zoom_iters: int | None = None,
+                refine_rounds: int = 0) -> QPSolution:
     """Ruiz-scale, run the IPM, unscale, report residuals.
 
     Runs under full-f32 matmul precision: TPU's default reduced-precision
@@ -477,13 +499,14 @@ def solve_qp_ip(data: QPData, iters: int = 25, delta: float = 1e-7,
     """
     with jax.default_matmul_precision("highest"):
         return _solve_qp_ip_inner(data, iters, delta, scale, eq_rows, struct,
-                                  zoom_rounds, zoom_iters)
+                                  zoom_rounds, zoom_iters, refine_rounds)
 
 
 def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
                        scale: bool, eq_rows: Array | None = None,
                        struct=None, zoom_rounds: int = 1,
-                       zoom_iters: int | None = None) -> QPSolution:
+                       zoom_iters: int | None = None,
+                       refine_rounds: int = 0) -> QPSolution:
     # The condensed Hessians arrive as f32 Gram-product sums that are only
     # symmetric PSD in exact arithmetic; rounding leaves ~1e-4-relative
     # asymmetry and NEGATIVE curvature (observed lambda_min ~ -2e-4 on BARC
@@ -558,6 +581,72 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     # main pass's duals are a reliable estimate
     PEN = 30.0 * (1.0 + jnp.max(jnp.abs(jnp.nan_to_num(ys))))
 
+    pieces = comp_pieces(xs)
+    phi1 = phi_of(xs, pieces)
+
+    # ---- active-set penalty refinement (cheap zoom substitute) ----------
+    # One condensed factorization + a handful of matvecs per round, vs a
+    # full fixed-iteration IPM per zoom round (~14x the cost).  The active
+    # set is read off the current duals/compensated slacks; the correction
+    #     min 1/2 e' P0 e + rq' e + rho/2 ||(A e - r_act)_active||^2
+    # is OSQP's polish in RESIDUAL form: with the gradient/slacks computed
+    # in compensated f32 the plain polish's cancellation floor does not
+    # apply, so one accepted round removes both the convexity-ridge bias
+    # and the IPM's mu-floor error (same error sources the zoom ladder
+    # targets).  Acceptance by the same exact-penalty merit phi; a wrong
+    # active set produces a rejected candidate and the iterate is kept —
+    # the optional zoom rounds below then still run on the best iterate.
+    if refine_rounds and eq_rows is not None:
+        m0 = A0.shape[0]
+        make_solver_r = _condensed_solver_factory(
+            P0, A0, eq_rows, struct, delta, jnp.asarray(1e-6, P0.dtype))
+        _, ATmv_r = _struct_matvecs(A0, struct, eq_rows, n, m0, P0.dtype)
+        is_eq_r = jnp.zeros(m0, dtype=bool).at[eq_rows].set(True)
+        fin_l0 = jnp.isfinite(l0) & ~is_eq_r
+        fin_u0 = jnp.isfinite(u0) & ~is_eq_r
+        rho = jnp.asarray(1e5, P0.dtype)
+        for _ in range(refine_rounds):
+            f_h, f_l, rq_h, rq_l = pieces
+            l_r = (l0 - f_h) - f_l
+            u_r = (u0 - f_h) - f_l
+            rq = rq_h + rq_l
+            # active set: dual sign (y = z_u - z_l convention) OR a
+            # compensated slack at the noise floor (weakly-active rows the
+            # mu-floor-frozen duals may have missed)
+            ymax = jnp.maximum(jnp.max(jnp.abs(jnp.nan_to_num(ys))), 1.0)
+            act_u = fin_u0 & ((ys > 1e-6 * ymax)
+                              | (u_r < 1e-6 * (1.0 + jnp.abs(jnp.where(
+                                  fin_u0, u0, 0.0)))))
+            act_l = fin_l0 & ((ys < -1e-6 * ymax)
+                              | (l_r > -1e-6 * (1.0 + jnp.abs(jnp.where(
+                                  fin_l0, l0, 0.0)))))
+            both = act_u & act_l
+            pick_u = jnp.abs(u_r) <= jnp.abs(l_r)
+            act_u = jnp.where(both, pick_u, act_u)
+            act_l = jnp.where(both, ~pick_u, act_l)
+            active = act_u | act_l
+            b_act = jnp.where(act_l, l_r, jnp.where(act_u, u_r, 0.0))
+            D_pol = jnp.where(active, rho, 0.0)
+            solve_r = make_solver_r(D_pol)
+            r1 = -rq + ATmv_r(D_pol * b_act)
+            r2 = jnp.where(is_eq_r, u_r, 0.0)
+            e, dy = solve_r(r1, r2)
+            ok = jnp.all(jnp.isfinite(e)) & jnp.all(jnp.isfinite(dy))
+            xs2 = jnp.where(ok, xs + e, xs)
+            pieces2 = comp_pieces(xs2)
+            phi2 = phi_of(xs2, pieces2)
+            better = ok & (phi2 < phi1)
+            # refreshed duals: penalty multipliers on active rows (Ae via
+            # compensated piece difference), eq-row duals from the KKT
+            Ae_val = (pieces2[0] - f_h) + (pieces2[1] - f_l)
+            y_act = D_pol * (Ae_val - b_act)
+            ys2 = jnp.where(is_eq_r, dy, jnp.where(active, y_act, 0.0))
+            xs = jnp.where(better, xs2, xs)
+            ys = jnp.where(better, ys2, ys)
+            phi1 = jnp.where(better, phi2, phi1)
+            pieces = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), pieces2, pieces)
+
     # Zoom LADDER.  Round 1 runs unzoomed (the ridge-bias correction is
     # O(1)); after an accepted round the zoom is raised so the EXPECTED
     # remaining correction (~1e-2 of the measured one) becomes O(1) for the
@@ -565,8 +654,6 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     # resolves zoom-times-finer detail.  A rejected round escalates the
     # zoom instead (the step was too coarse at this scale).
     zoom = jnp.asarray(1.0, dtype=sdata.P.dtype)
-    pieces = comp_pieces(xs)
-    phi1 = phi_of(xs, pieces)
     for _ in range(zoom_rounds):
         f_h, f_l, rq_h, rq_l = pieces
         l_r = (l0 - f_h) - f_l
