@@ -198,6 +198,13 @@ class RacingMPCConfig:
     num_ss_pts_per_lap: int = 0
     max_lap_stored: int = 0
 
+    # actuation-delay compensation: the applied command is u[delay_step]
+    # of the solved plan (racing_mpc_node.hpp:61, pick at
+    # racing_mpc_node.cpp:386-402; every shipped launch sets
+    # racing_mpc_node.delay_step).  -1 = auto: 0 in step mode, 1 in
+    # continuous mode (one control period of actuation latency).
+    delay_step: int = -1
+
     # recording / lap checkpointing
     record: bool = False
     path_prefix: str = ""

@@ -85,7 +85,10 @@ class MPCController:
         self._pred_fn = jax.jit(jax.vmap(model.discrete_dynamics))
         self.mpc = RacingMPC(config, model)
         self.safe_set_query = safe_set_query
-        self.delay_step = 1 if config.step_mode == "continuous" else 0
+        # applied-command pick u[delay_step] (racing_mpc_node.hpp:61,
+        # racing_mpc_node.cpp:386-402); config -1 = mode-based default
+        self._delay_step = (config.delay_step if config.delay_step >= 0
+                            else (1 if config.step_mode == "continuous" else 0))
         vel_idx = self.mpc.idx_vel
         x_max = np.asarray(config.x_max) if len(config.x_max) == model.nx else None
         self.speed_limit = float(x_max[vel_idx]) if x_max is not None else np.inf
@@ -108,6 +111,18 @@ class MPCController:
 
         self._step_jit = jax.jit(self._rti_step)
         self._plant_step = jax.jit(self._composed_step)
+
+    @property
+    def delay_step(self) -> int:
+        return self._delay_step
+
+    @delay_step.setter
+    def delay_step(self, v: int):
+        """The pick index is baked into the jitted step; re-jit on change."""
+        v = int(v)
+        if v != self._delay_step:
+            self._delay_step = v
+            self._step_jit = jax.jit(self._rti_step)
 
     # ------------------------------------------------------------------
     def _composed_step(self, x: Array, u: Array) -> Array:

@@ -59,7 +59,7 @@ class ScenarioSpec:
     x0_global: tuple
     dt: float = 0.025
     velocity_profile_scale: float = 1.0
-    delay_step: int = 0
+    delay_step: int | None = None   # None = use the MPC config / mode default
     n_override: int | None = None
     load_laps: tuple = ()
     mpc_extra: dict = field(default_factory=dict)
@@ -170,7 +170,8 @@ class CoSimulation:
         self.controller = MPCController(mpc_cfg, self.ctrl_model, self.track,
                                         spec.dt)
         self.controller.speed_scale = spec.velocity_profile_scale
-        self.controller.delay_step = spec.delay_step
+        if spec.delay_step is not None:
+            self.controller.delay_step = spec.delay_step
 
         self.simulator = RacingSimulator(
             SimulatorConfig(dt=spec.dt, x0=spec.x0_global, step_mode="step"),
@@ -332,9 +333,10 @@ class ContinuousCoSimulation:
         # with a non-integer ratio, like the reference's 25 ms MPC timer
         # over the 10 ms continuous simulator; scheduled by accumulator)
         self._next_ctrl_t = 0.0
-        # delayed-actuation pick: the command computed now is applied one
-        # control period later (racing_mpc_node.hpp:61 delay_step)
-        self.cs.controller.delay_step = 1
+        # delayed-actuation pick: the command computed now is applied
+        # delay_step control periods later (racing_mpc_node.hpp:61); the
+        # continuous-mode default of 1 comes from RacingMPCConfig.delay_step
+        # = -1 (auto) — an explicit config value is honored as-is
         self.cs.simulator = type(self.cs.simulator)(
             SimulatorConfig(dt=sim_dt, x0=spec.x0_global,
                             step_mode="continuous"),

@@ -600,6 +600,14 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         m0 = A0.shape[0]
         make_solver_r = _condensed_solver_factory(
             P0, A0, eq_rows, struct, delta, jnp.asarray(1e-6, P0.dtype))
+        # Levenberg lifts: P0 is the UNRIDGED scaled Hessian, whose f32
+        # rounding leaves ~-2e-4 negative curvature (see module ridge
+        # notes); the small lift preserves accuracy when Cholesky goes
+        # through, and a breakdown (non-finite e) escalates to a lift
+        # above the observed negative-curvature scale instead of silently
+        # skipping the round.
+        _LIFT_SMALL = jnp.asarray(1e-6, P0.dtype)
+        _LIFT_BIG = jnp.maximum(1e-3 * trace_n, 1e-3).astype(P0.dtype)
         _, ATmv_r = _struct_matvecs(A0, struct, eq_rows, n, m0, P0.dtype)
         is_eq_r = jnp.zeros(m0, dtype=bool).at[eq_rows].set(True)
         fin_l0 = jnp.isfinite(l0) & ~is_eq_r
@@ -627,10 +635,15 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
             active = act_u | act_l
             b_act = jnp.where(act_l, l_r, jnp.where(act_u, u_r, 0.0))
             D_pol = jnp.where(active, rho, 0.0)
-            solve_r = make_solver_r(D_pol)
             r1 = -rq + ATmv_r(D_pol * b_act)
             r2 = jnp.where(is_eq_r, u_r, 0.0)
-            e, dy = solve_r(r1, r2)
+            e, dy = make_solver_r(D_pol, _LIFT_SMALL)(r1, r2)
+            ok = jnp.all(jnp.isfinite(e)) & jnp.all(jnp.isfinite(dy))
+            # Cholesky breakdown -> retry once with the escalated lift
+            # (both branches trace one factorization; one executes)
+            e, dy = jax.lax.cond(
+                ok, lambda: (e, dy),
+                lambda: make_solver_r(D_pol, _LIFT_BIG)(r1, r2))
             ok = jnp.all(jnp.isfinite(e)) & jnp.all(jnp.isfinite(dy))
             xs2 = jnp.where(ok, xs + e, xs)
             pieces2 = comp_pieces(xs2)
@@ -640,7 +653,11 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
             # compensated piece difference), eq-row duals from the KKT
             Ae_val = (pieces2[0] - f_h) + (pieces2[1] - f_l)
             y_act = D_pol * (Ae_val - b_act)
-            ys2 = jnp.where(is_eq_r, dy, jnp.where(active, y_act, 0.0))
+            # rows OUTSIDE the identified active set keep their prior duals:
+            # zeroing a misclassified weakly-active row's dual inflates
+            # r_dual and can flip the reported solved flag even though the
+            # primal improved (ADVICE r3)
+            ys2 = jnp.where(is_eq_r, dy, jnp.where(active, y_act, ys))
             xs = jnp.where(better, xs2, xs)
             ys = jnp.where(better, ys2, ys)
             phi1 = jnp.where(better, phi2, phi1)

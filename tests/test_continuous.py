@@ -42,6 +42,22 @@ def test_continuous_mode_runs_with_delay_pick(cont):
     assert max(abs(m.p.x_tran) for m in sim.published) < 0.45
 
 
+def test_delay_step_2_configurable():
+    """delay_step is a config parameter (racing_mpc_node.hpp:61, every
+    shipped launch sets racing_mpc_node.delay_step); delay_step = 2 picks
+    u[2] of the plan and the continuous loop still drives the car."""
+    sim = ContinuousCoSimulation(
+        _SCENARIOS["barc_tracking_mpc"], sim_dt=0.01, n_override=10,
+        mpc_overrides={"delay_step": 2})
+    assert sim.cs.controller.delay_step == 2
+    summary = sim.run(300)
+    assert summary["fallback_rate"] <= 0.05
+    s0, s1 = sim.published[0].p.s, sim.published[-1].p.s
+    L = sim.cs.track.total_length
+    assert (s1 - s0) % L > 2.0, "no progress with delay_step=2"
+    assert max(abs(m.p.x_tran) for m in sim.published) < 0.45
+
+
 def test_keepalive_when_actuation_stops():
     sim = ContinuousCoSimulation(
         _SCENARIOS["barc_tracking_mpc"], sim_dt=0.01, n_override=10)
