@@ -229,9 +229,10 @@ class RacingMPCConfig:
     # budget, 3 is the accuracy mode used by tests/test_reference_match.py.
     qp_zoom_rounds: int = 2
     qp_zoom_iters: int = 0      # 0 => same as qp_ip_iters
-    # active-set penalty refinement rounds (ipm.py): OSQP-polish in
-    # residual form with compensated RHS — ~1/14th the cost of a zoom
-    # round, same error targets when the active set is identified.
+    # DEPRECATED, ignored: the active-set penalty refinement was measured
+    # inert (f32 rho-Gram rounding leaves the penalty system indefinite;
+    # a mis-pinned row wrecks the answer — see the measured-verdict note in
+    # ipm.py) and removed in favor of the trust-region zoom ladder.
     qp_refine_rounds: int = 0
 
     def R(self, nu: int) -> np.ndarray:

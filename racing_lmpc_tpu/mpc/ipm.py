@@ -220,7 +220,8 @@ def _condensed_solver_factory(P: Array, A: Array, eq_rows, struct,
 def _ipm_core(data: QPData, iters: int, delta: float,
               eq_rows: Array | None = None,
               trace: bool = False,
-              struct=None):
+              struct=None,
+              do_polish: bool = True):
     """IPM on (scaled) data.  Returns (x, y) with y the OSQP-convention dual
     (y = z_u - z_l, positive on active upper bounds).
 
@@ -475,7 +476,8 @@ def _ipm_core(data: QPData, iters: int, delta: float,
         return rp + rp_eq + rd + comp
 
     pol_ok = (kkt_metric(x_pol, y_pol) < kkt_metric(x, y)) \
-        & jnp.all(jnp.isfinite(x_pol)) & jnp.all(jnp.isfinite(y_pol))
+        & jnp.all(jnp.isfinite(x_pol)) & jnp.all(jnp.isfinite(y_pol)) \
+        & jnp.asarray(do_polish)
     x_fin = jnp.where(pol_ok, x_pol, x)
     y_fin = jnp.where(pol_ok, y_pol, y)
     if trace:
@@ -562,20 +564,39 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         return f_h, f_l, rq_h, rq_l + e1
 
     def phi_of(x, pieces):
-        """Exact-penalty merit phi = objective + PEN * violation, evaluated
-        in compensated arithmetic.  Dual-free on purpose: the fresh duals a
-        refinement subproblem returns carry their own noise and must not
-        veto a primal improvement (measured: a step improving steering
-        10x was rejected by a KKT-residual guard)."""
+        """l1-exact-penalty merit as a DOUBLE-WORD (hi, lo) pair.
+
+        Dual-free on purpose: the fresh duals a refinement subproblem
+        returns carry their own noise and must not veto a primal
+        improvement (measured: a step improving steering 10x was rejected
+        by a KKT-residual guard).  Two hard-won details (round 4):
+        - the violation must be the l1 SUM with PEN > max|y*| (l1-penalty
+          exactness); the previous max-violation form needed PEN > ||y*||_1,
+          which the 30*(1+max|y|) estimate does not reach — the ladder then
+          "improved" phi by sliding ~1e-7 into infeasibility while steering
+          drifted 30x off the certified optimum;
+        - the compensated pieces must be ACCUMULATED in double-word too: a
+          plain f32 sum of O(10) partial dots carries ~1e-6 noise, burying
+          the ~1e-9 objective differences that distinguish points along the
+          QP's low-curvature valley."""
         f_h, f_l, rq_h, rq_l = pieces
         # obj = 1/2 x'(P x + q) + 1/2 q'x  — use the compensated P x + q
         oh1, ol1 = dot_compensated(x, rq_h)
         oh2, ol2 = dot_compensated(x, rq_l)
         oh3, ol3 = dot_compensated(q0, x)
-        obj = 0.5 * (oh1 + ol1 + oh2 + ol2 + oh3 + ol3)
+        h, lo = oh1, ol1
+        for term in (oh2, ol2, oh3, ol3):
+            h, e = two_sum(h, term)
+            lo = lo + e
+        h, lo = 0.5 * h, 0.5 * lo
         f = f_h + f_l
-        viol = jnp.max(jnp.abs(f - jnp.clip(f, l0, u0)))
-        return obj + PEN * viol
+        viol = jnp.sum(jnp.abs(f - jnp.clip(f, l0, u0)))
+        h, e = two_sum(h, PEN * viol)
+        return h, lo + e
+
+    def phi_lt(a, b):
+        """Double-word comparison a < b."""
+        return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
 
     # exact-penalty weight: must dominate the true multipliers (|y*|); the
     # main pass's duals are a reliable estimate
@@ -584,85 +605,21 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     pieces = comp_pieces(xs)
     phi1 = phi_of(xs, pieces)
 
-    # ---- active-set penalty refinement (cheap zoom substitute) ----------
-    # One condensed factorization + a handful of matvecs per round, vs a
-    # full fixed-iteration IPM per zoom round (~14x the cost).  The active
-    # set is read off the current duals/compensated slacks; the correction
-    #     min 1/2 e' P0 e + rq' e + rho/2 ||(A e - r_act)_active||^2
-    # is OSQP's polish in RESIDUAL form: with the gradient/slacks computed
-    # in compensated f32 the plain polish's cancellation floor does not
-    # apply, so one accepted round removes both the convexity-ridge bias
-    # and the IPM's mu-floor error (same error sources the zoom ladder
-    # targets).  Acceptance by the same exact-penalty merit phi; a wrong
-    # active set produces a rejected candidate and the iterate is kept —
-    # the optional zoom rounds below then still run on the best iterate.
-    if refine_rounds and eq_rows is not None:
-        m0 = A0.shape[0]
-        make_solver_r = _condensed_solver_factory(
-            P0, A0, eq_rows, struct, delta, jnp.asarray(1e-6, P0.dtype))
-        # Levenberg lifts: P0 is the UNRIDGED scaled Hessian, whose f32
-        # rounding leaves ~-2e-4 negative curvature (see module ridge
-        # notes); the small lift preserves accuracy when Cholesky goes
-        # through, and a breakdown (non-finite e) escalates to a lift
-        # above the observed negative-curvature scale instead of silently
-        # skipping the round.
-        _LIFT_SMALL = jnp.asarray(1e-6, P0.dtype)
-        _LIFT_BIG = jnp.maximum(1e-3 * trace_n, 1e-3).astype(P0.dtype)
-        _, ATmv_r = _struct_matvecs(A0, struct, eq_rows, n, m0, P0.dtype)
-        is_eq_r = jnp.zeros(m0, dtype=bool).at[eq_rows].set(True)
-        fin_l0 = jnp.isfinite(l0) & ~is_eq_r
-        fin_u0 = jnp.isfinite(u0) & ~is_eq_r
-        rho = jnp.asarray(1e5, P0.dtype)
-        for _ in range(refine_rounds):
-            f_h, f_l, rq_h, rq_l = pieces
-            l_r = (l0 - f_h) - f_l
-            u_r = (u0 - f_h) - f_l
-            rq = rq_h + rq_l
-            # active set: dual sign (y = z_u - z_l convention) OR a
-            # compensated slack at the noise floor (weakly-active rows the
-            # mu-floor-frozen duals may have missed)
-            ymax = jnp.maximum(jnp.max(jnp.abs(jnp.nan_to_num(ys))), 1.0)
-            act_u = fin_u0 & ((ys > 1e-6 * ymax)
-                              | (u_r < 1e-6 * (1.0 + jnp.abs(jnp.where(
-                                  fin_u0, u0, 0.0)))))
-            act_l = fin_l0 & ((ys < -1e-6 * ymax)
-                              | (l_r > -1e-6 * (1.0 + jnp.abs(jnp.where(
-                                  fin_l0, l0, 0.0)))))
-            both = act_u & act_l
-            pick_u = jnp.abs(u_r) <= jnp.abs(l_r)
-            act_u = jnp.where(both, pick_u, act_u)
-            act_l = jnp.where(both, ~pick_u, act_l)
-            active = act_u | act_l
-            b_act = jnp.where(act_l, l_r, jnp.where(act_u, u_r, 0.0))
-            D_pol = jnp.where(active, rho, 0.0)
-            r1 = -rq + ATmv_r(D_pol * b_act)
-            r2 = jnp.where(is_eq_r, u_r, 0.0)
-            e, dy = make_solver_r(D_pol, _LIFT_SMALL)(r1, r2)
-            ok = jnp.all(jnp.isfinite(e)) & jnp.all(jnp.isfinite(dy))
-            # Cholesky breakdown -> retry once with the escalated lift
-            # (both branches trace one factorization; one executes)
-            e, dy = jax.lax.cond(
-                ok, lambda: (e, dy),
-                lambda: make_solver_r(D_pol, _LIFT_BIG)(r1, r2))
-            ok = jnp.all(jnp.isfinite(e)) & jnp.all(jnp.isfinite(dy))
-            xs2 = jnp.where(ok, xs + e, xs)
-            pieces2 = comp_pieces(xs2)
-            phi2 = phi_of(xs2, pieces2)
-            better = ok & (phi2 < phi1)
-            # refreshed duals: penalty multipliers on active rows (Ae via
-            # compensated piece difference), eq-row duals from the KKT
-            Ae_val = (pieces2[0] - f_h) + (pieces2[1] - f_l)
-            y_act = D_pol * (Ae_val - b_act)
-            # rows OUTSIDE the identified active set keep their prior duals:
-            # zeroing a misclassified weakly-active row's dual inflates
-            # r_dual and can flip the reported solved flag even though the
-            # primal improved (ADVICE r3)
-            ys2 = jnp.where(is_eq_r, dy, jnp.where(active, y_act, ys))
-            xs = jnp.where(better, xs2, xs)
-            ys = jnp.where(better, ys2, ys)
-            phi1 = jnp.where(better, phi2, phi1)
-            pieces = jax.tree.map(
-                lambda a, b: jnp.where(better, a, b), pieces2, pieces)
+    # NOTE (measured verdict, round 4): a cheap one-shot active-set penalty
+    # refinement (`qp_refine_rounds`, rounds 3-4) was built, armed, and
+    # REMOVED here.  Two independent failure modes killed it: (1) forming
+    # A'(rho=1e5)A in f32 injects ~1e-2-absolute Gram rounding next to the
+    # O(1) Ruiz-scaled Hessian, leaving the penalty system indefinite
+    # (lambda_min ~ -1e-2 measured) so the pivot-free Cholesky NaNs at any
+    # accuracy-preserving lift; (2) with a moderate rho and compensated
+    # residual iterations the system solves to rd ~ 4e-7, but the answer is
+    # only as good as the guessed active set, and a single mis-pinned row
+    # moved the applied steering 9e-3 OFF the certified optimum (the
+    # merit gate then rejects every round — the path was measured inert:
+    # identical sweep errors at refine_rounds 0/2/4).  The trust-region
+    # zoom ladder below needs no active-set guess and reaches the same
+    # target; `refine_rounds` is kept in the signature for compatibility
+    # and ignored.
 
     # Zoom LADDER.  Round 1 runs unzoomed (the ridge-bias correction is
     # O(1)); after an accepted round the zoom is raised so the EXPECTED
@@ -670,14 +627,36 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     # solver — the f32 floors are absolute, so the magnified subproblem
     # resolves zoom-times-finer detail.  A rejected round escalates the
     # zoom instead (the step was too coarse at this scale).
+    #
+    # TRUST REGION (round 4): the magnified bounds are CLIPPED to +-C_TR.
+    # Without the clip, magnifying the O(1) slack of every INACTIVE row by
+    # zoom~1e3 hands the (un-re-equilibrated) subproblem bounds spanning
+    # [1e-3, 1e3]; the fixed-iteration IPM returns junk corrections two
+    # orders larger than the true residual error (|xe| = 52 where Z*e* =
+    # 0.1, measured) and the ladder WANDERS along the QP's low-curvature
+    # valley — the exact failure that left the r3 reference-match gate at
+    # 1.1e-3 with zero margin.  Clipping is safe: the true correction
+    # satisfies |A e| <= C_TR/zoom << C_TR, so clipped rows never bind at
+    # the subproblem optimum; they only stop the solver from using the
+    # far-away region.  With it the ladder contracts monotonically
+    # (8e-5 -> 1.6e-4 -> 1.6e-4 fixed point, vs 8e-5 -> 2.5e-3 -> ...
+    # without, measured on the deviated BARC instance).
+    is_eq_z = jnp.zeros(A0.shape[0], dtype=bool)
+    if eq_rows is not None:
+        is_eq_z = is_eq_z.at[eq_rows].set(True)
+    C_TR = jnp.asarray(100.0, dtype=sdata.P.dtype)
     zoom = jnp.asarray(1.0, dtype=sdata.P.dtype)
     for _ in range(zoom_rounds):
         f_h, f_l, rq_h, rq_l = pieces
         l_r = (l0 - f_h) - f_l
         u_r = (u0 - f_h) - f_l
         rq = rq_h + rq_l
-        rdata = QPData(P=P0, q=zoom * rq, A=A0,
-                       l=zoom * l_r, u=zoom * u_r)
+        lz = jnp.maximum(zoom * l_r, jnp.where(jnp.isfinite(l0), -C_TR, -jnp.inf))
+        uz = jnp.minimum(zoom * u_r, jnp.where(jnp.isfinite(u0), C_TR, jnp.inf))
+        # equality rows stay exact (their residuals are tiny anyway)
+        lz = jnp.where(is_eq_z, zoom * u_r, lz)
+        uz = jnp.where(is_eq_z, zoom * u_r, uz)
+        rdata = QPData(P=P0, q=zoom * rq, A=A0, l=lz, u=uz)
         ok1 = jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(ys))
         xe, ye = _ipm_core(rdata, iters=zoom_iters or iters, delta=delta,
                            eq_rows=eq_rows, struct=struct)
@@ -686,10 +665,11 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         ys2 = jnp.where(step_ok, ye / zoom, ys)
         pieces2 = comp_pieces(xs2)
         phi2 = phi_of(xs2, pieces2)
-        better = step_ok & (phi2 < phi1)
+        better = step_ok & phi_lt(phi2, phi1)
         xs = jnp.where(better, xs2, xs)
         ys = jnp.where(better, ys2, ys)
-        phi1 = jnp.where(better, phi2, phi1)
+        phi1 = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), phi2, phi1)
         pieces = jax.tree.map(
             lambda a, b: jnp.where(better, a, b), pieces2, pieces)
         # next zoom: make the expected remaining correction O(1)

@@ -116,12 +116,15 @@ def evaluate(caps, oracles, overrides):
         mpc = cs.controller.mpc
         su = np.asarray(mpc.scale_u)
         errs = []
-        for (inp, zw), U_star in zip(caps[name], oracles[name]):
+        for k, ((inp, zw), U_star) in enumerate(zip(caps[name], oracles[name])):
             out, _ = mpc._solve_jit(
                 jax.tree.map(jnp.asarray, inp), jnp.asarray(zw),
                 jnp.asarray(True))
             rel = np.abs(np.asarray(out.U_optm, np.float64) - U_star) / su
             errs.append((rel[:2, 1].max(), rel[:, 1].max(), rel[:, 0].max()))
+            if os.environ.get("ACC_VERBOSE"):
+                print(f"    {name}[{k}] applied={errs[-1][0]:.3e} "
+                      f"tail={errs[-1][1]:.3e}", flush=True)
         e = np.asarray(errs)
         res[name] = dict(applied_steer=float(e[:, 0].max()),
                          steer_tail=float(e[:, 1].max()),

