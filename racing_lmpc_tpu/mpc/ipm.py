@@ -53,8 +53,37 @@ _MU_FLOOR = 1e-7
 # steering, measured) is removed afterwards by the zoomed refinement, whose
 # own subproblems use the smaller _RIDGE_ZOOM_REL (bias there scales with
 # the residual itself, so it contracts geometrically).
-_RIDGE_REL = 1e-5
+_RIDGE_REL = 1e-6
 _RIDGE_ZOOM_REL = 0.0
+# Fixed zoom schedule for the refinement ladder (see the trust-region notes
+# in _solve_qp_ip_inner).  Measured against per-round f64 solves of the SAME
+# residual subproblems (BARC tracking, deviated instance): the f32
+# subproblem solve leaves O(0.1-1) junk ON THE MAGNIFIED SCALE at any zoom,
+# so the unmagnified damage is junk/zoom — at zoom 1e6 a round is exact to
+# ~1e-7 while the former adaptive schedule (zoom from the junk-inflated
+# |xe|) parked at ~1e3 where rounds injected 1e-3-class wander.  The
+# schedule climbs geometrically; rounds past the end stay at the cap.
+_ZOOM_SCHED = (1.0, 3e3, 1e6)   # legacy fixed schedule (kept for reference)
+# Carried-zoom escalation: a round whose accepted phi gain is still
+# MACROSCOPIC (< -_GAIN_SMALL, scaled units) keeps the current zoom — the
+# iterate is still making large-scale progress and a premature magnified
+# round steers by junk (measured: a zoom-3e3 round accepted with dphi
+# -8e-4 moved applied steering 1.5e-2 OFF the optimum while the iterate
+# was still ~1e-3-suboptimal).  Once gains die the zoom multiplies by
+# _ZOOM_STEP for the endgame rounds, where subproblem junk is divided
+# down to harmlessness (junk/zoom ~ 1e-7 at the 1e6 cap).
+_GAIN_SMALL = 1e-5
+_ZOOM_STEP = 1e3
+_ZOOM_MAX = 1e6
+# (A proximal-anchor variant of the subproblems — +eps/2||e||^2 — was
+# built and MEASURED WORSE: eps large enough to pin the LMPC QPs' flat
+# lambda faces also damps the low-curvature steering-tail corrections the
+# descent rounds exist for; worst-case applied error grew from 1.9e-3 to
+# 8.5e-3.  Removed.)
+# Trust region on the magnified residual bounds: large enough to pass any
+# real correction (|A e| <= ~C/zoom at the entry zoom), small enough to
+# deny the solver the far-away region that produces the junk.
+_C_TR = 1e3
 
 
 def _struct_matvecs(A: Array, struct, eq_rows, n: int, m: int, dtype):
@@ -644,9 +673,9 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
     is_eq_z = jnp.zeros(A0.shape[0], dtype=bool)
     if eq_rows is not None:
         is_eq_z = is_eq_z.at[eq_rows].set(True)
-    C_TR = jnp.asarray(100.0, dtype=sdata.P.dtype)
+    C_TR = jnp.asarray(_C_TR, dtype=sdata.P.dtype)
     zoom = jnp.asarray(1.0, dtype=sdata.P.dtype)
-    for _ in range(zoom_rounds):
+    for k in range(zoom_rounds):
         f_h, f_l, rq_h, rq_l = pieces
         l_r = (l0 - f_h) - f_l
         u_r = (u0 - f_h) - f_l
@@ -666,17 +695,18 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         pieces2 = comp_pieces(xs2)
         phi2 = phi_of(xs2, pieces2)
         better = step_ok & phi_lt(phi2, phi1)
+        # macroscopic gain -> stay at this zoom (still making large-scale
+        # progress); microscopic/no gain -> escalate for the endgame
+        dphi = (phi2[0] - phi1[0]) + (phi2[1] - phi1[1])
+        macro = better & (dphi < -_GAIN_SMALL)
         xs = jnp.where(better, xs2, xs)
         ys = jnp.where(better, ys2, ys)
         phi1 = jax.tree.map(
             lambda a, b: jnp.where(better, a, b), phi2, phi1)
         pieces = jax.tree.map(
             lambda a, b: jnp.where(better, a, b), pieces2, pieces)
-        # next zoom: make the expected remaining correction O(1)
-        e_norm = jnp.max(jnp.abs(xe)) / zoom
-        zoom_next = 1.0 / jnp.maximum(1e-2 * e_norm, 1e-6)
-        zoom = jnp.clip(jnp.where(better, zoom_next, zoom * 30.0),
-                        1.0, 1e6)
+        zoom = jnp.where(macro, zoom,
+                         jnp.minimum(zoom * _ZOOM_STEP, _ZOOM_MAX))
 
     rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)
     x = xs * D

@@ -10,6 +10,8 @@ and publishing.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from racing_lmpc_tpu.launch.runner import (
     _SCENARIOS,
     ContinuousCoSimulation,

@@ -12,6 +12,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from racing_lmpc_tpu.config import EKFConfig
 from racing_lmpc_tpu.control.telemetry import Logger, LogLevel
 from racing_lmpc_tpu.estimation import EKFStateEstimator

@@ -13,6 +13,10 @@ import re
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "multihost_worker.py")
 
