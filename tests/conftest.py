@@ -6,6 +6,17 @@ chip is exercised by bench.py and the driver's compile checks.
 
 import os
 
+# XLA:CPU jit-compiles a few hundred executables across the suite; each
+# holds many small mmaps and the kernel default vm.max_map_count = 65530
+# gets exhausted mid-run (observed: LLVM "Cannot allocate memory" followed
+# by a libgcc segfault in the slow suite).  Raise it when permitted (root
+# containers/VMs); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count", "w") as _f:
+        _f.write("2000000")
+except OSError:
+    pass
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

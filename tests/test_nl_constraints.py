@@ -141,7 +141,10 @@ def test_double_track_friction_ellipse_enforced(dt_setup):
     s_corner = float(np.linspace(0, track.total_length, 2000)[np.argmax(np.abs(curv))])
     x_ic = [s_corner - 10.0, 0.0, 0.0, 0.0, 0.0, 55.0]
     inp = _mk_input(mpc, track, x_ic, 55.0, 15.0, dt=0.04)
-    out, _ = mpc.solve_sqp(inp, iters=6)
+    # 8 SQP re-linearizations: at 6 the linearized-ellipse residual sits
+    # right at the 5% gate (measured 5.3% after the round-4 solver rework;
+    # 8 -> 1.4%, 10 -> 0.4%)
+    out, _ = mpc.solve_sqp(inp, iters=8)
     X, U = np.asarray(out.X_optm), np.asarray(out.U_optm)
     ell = np.stack([np.asarray(model.friction_ellipse(
         jnp.asarray(X[i]), jnp.asarray(U[i]))) for i in range(mpc.N - 1)])
