@@ -233,11 +233,6 @@ class RacingMPCConfig:
     # from the same certified optimum (measured in-test).
     qp_zoom_rounds: int = 2
     qp_zoom_iters: int = 0      # 0 => same as qp_ip_iters
-    # DEPRECATED, ignored: the active-set penalty refinement was measured
-    # inert (f32 rho-Gram rounding leaves the penalty system indefinite;
-    # a mis-pinned row wrecks the answer — see the measured-verdict note in
-    # ipm.py) and removed in favor of the trust-region zoom ladder.
-    qp_refine_rounds: int = 0
 
     def R(self, nu: int) -> np.ndarray:
         return np.asarray(self.r, dtype=np.float64).reshape(nu, nu)

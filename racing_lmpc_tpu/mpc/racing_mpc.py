@@ -595,8 +595,7 @@ class RacingMPC:
             sol = solve_qp_ip(data, iters=cfg.qp_ip_iters, eq_rows=self.eq_rows,
                               struct=self.qp_struct,
                               zoom_rounds=cfg.qp_zoom_rounds,
-                              zoom_iters=cfg.qp_zoom_iters or None,
-                              refine_rounds=cfg.qp_refine_rounds)
+                              zoom_iters=cfg.qp_zoom_iters or None)
         else:
             # warm_start_vector packs scaled controls ubar; the decision
             # variable under feedback-pre-stabilized condensing is v with
