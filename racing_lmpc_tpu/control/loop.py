@@ -192,6 +192,16 @@ class MPCController:
         z_warm = mpc.warm_start_vector(X_ref, U_ref, dU_ref, state.lam)
         return inp, z_warm, dU_ref
 
+    def _nl_rollout(self, x0: Array, U: Array) -> Array:
+        """Nonlinear rollout of a control plan through the composed discrete
+        dynamics (curvature at each state's own abscissa) — dynamically
+        consistent by construction."""
+        def body(x, u):
+            xn = self._composed_step(x, u)
+            return xn, xn
+        _, Xs = jax.lax.scan(body, x0, U)
+        return jnp.concatenate([x0[None], Xs], axis=0)
+
     def _rti_step(self, x_ic: Array, u_ic: Array, state: ControllerState,
                   ss_x: Array, ss_j: Array, speed_limit: Array,
                   speed_scale: Array,
@@ -200,7 +210,54 @@ class MPCController:
         inp, z_warm, dU_ref = self.build_step_input(
             x_ic, u_ic, state, ss_x, ss_j, speed_limit, speed_scale, regs)
         X_ref, U_ref = inp.X_ref, inp.U_ref
-        out, _ = mpc._solve_impl(inp, z_warm, jnp.asarray(True))
+        n_steps = max(1, self.config.sqp_relin_steps)
+        if n_steps == 1:
+            out, _ = mpc._solve_impl(inp, z_warm, jnp.asarray(True))
+        else:
+            # In-loop SQP re-linearization (config.sqp_relin_steps > 1): the
+            # reference solves the full NLP to convergence every cycle
+            # (racing_mpc.cpp:85-103, IPOPT max_iter 200); one RTI
+            # linearization around the shifted plan is exact enough at short
+            # horizons but drifts over long fast ones (IAC Putnam: 6 s x 60
+            # stages) until the "solved" plan is unphysical.  Iteration 0
+            # solves at the shifted reference exactly like the RTI path;
+            # each further iteration re-linearizes around the nonlinear
+            # ROLLOUT of the accepted controls (physical by construction),
+            # re-interpolates the track data at the rollout abscissae,
+            # re-solves, and damps the control update (solve_sqp's
+            # alpha = 0.5), keeping the previous iterate if the re-solve
+            # fails.  One scanned _solve_impl instance — the jitted graph
+            # stays the size of a single solve.
+            out_sd, _ = jax.eval_shape(
+                mpc._solve_impl, inp, z_warm, jnp.asarray(True))
+            init = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), out_sd)
+
+            def sqp_body(prev, it):
+                first = it == 0
+                U = prev.U_optm
+                X_roll = self._nl_rollout(inp.x_ic, U)
+                bl, br, curv, vel_raw = self._reference_arrays(
+                    X_roll, x_ic.dtype)
+                vel_r = self._clip_vel_ref(
+                    vel_raw, X_roll[:, mpc.idx_vel], speed_limit, speed_scale)
+                inp_r = inp._replace(
+                    X_ref=X_roll, U_ref=U, bound_left=bl, bound_right=br,
+                    curvatures=curv, vel_ref=vel_r)
+                inp_eff = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(first, a, b), inp, inp_r)
+                out_r, _ = mpc._solve_impl(inp_eff, z_warm, jnp.asarray(True))
+                U_new = jnp.where(
+                    first, out_r.U_optm, U + 0.5 * (out_r.U_optm - U))
+                X_new = jnp.where(
+                    first, out_r.X_optm, self._nl_rollout(inp.x_ic, U_new))
+                cand = out_r._replace(U_optm=U_new, X_optm=X_new)
+                keep = first | out_r.solved
+                nxt = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(keep, a, b), cand, prev)
+                return nxt, None
+
+            out, _ = jax.lax.scan(sqp_body, init, jnp.arange(n_steps))
 
         # on failure keep flying the shifted previous plan
         ok = out.solved

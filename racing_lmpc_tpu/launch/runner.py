@@ -108,7 +108,14 @@ _SCENARIOS = {
         # shipped at all (missing lap files).
         load_laps=tuple(str(SS_DIR / "putnam_short" / f"ss_lap_{i}")
                         for i in (1, 2, 3)),
-        mpc_extra={"q_state_slack": 2000.0},
+        # sqp_relin_steps=3: at 10 Hz with a 6 s, 60-stage horizon one RTI
+        # linearization drifts far enough from the rollout that the QP's
+        # "solved" plans go unphysical at corner transitions (observed:
+        # planned ey 14 m / v -1.7 while "solved", commanding panic
+        # braking); re-linearizing around the nonlinear rollout restores
+        # the reference's converged-NLP-per-cycle semantics
+        # (racing_mpc.cpp:85-103, IPOPT max_iter 200 at this same 10 Hz).
+        mpc_extra={"q_state_slack": 2000.0, "sqp_relin_steps": 3},
     ),
     "putnam_short_tracking_mpc": ScenarioSpec(
         name="putnam_short_tracking_mpc",
