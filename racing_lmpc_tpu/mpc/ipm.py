@@ -735,16 +735,27 @@ def _solve_qp_ip_inner(data: QPData, iters: int, delta: float,
         done = (~better & at_max) | (better & (corr < _EXIT_ATOL))
         return xs, ys, phi1, pieces, zoom, active & ~done
 
-    def skip_round(carry):
-        return carry
-
     carry = (xs, ys, phi1, pieces, jnp.asarray(1.0, dtype=sdata.P.dtype),
              jnp.asarray(True))
-    for k in range(zoom_rounds):
-        # lax.cond: on the non-vmapped real-time path an inactive round
-        # skips its IPM entirely (batch-1 latency win); under vmap it
-        # lowers to select and costs what it always did.
-        carry = jax.lax.cond(carry[-1], zoom_round, skip_round, carry)
+
+    # lax.while_loop ladder: ONE compiled copy of the round body (the old
+    # unrolled cond chain put zoom_rounds IPM cores in the graph), and the
+    # early exit is real in EVERY execution mode — batch-1 stops the chip
+    # the round the ladder retires, and under vmap the while predicate
+    # becomes any(active): the BATCH stops at the deepest round any
+    # instance still needs (measured: most scenario instances retire after
+    # 1-2 rounds, so the zoom_rounds=4 default costs ~zoom-2 throughput
+    # instead of 2x).
+    def ladder_cond(c):
+        carry_c, k = c
+        return carry_c[-1] & (k < zoom_rounds)
+
+    def ladder_step(c):
+        carry_c, k = c
+        return zoom_round(carry_c), k + 1
+
+    carry, _ = jax.lax.while_loop(
+        ladder_cond, ladder_step, (carry, jnp.asarray(0)))
     xs, ys, phi1, pieces, _, _ = carry
 
     rp_rel, rd_rel = scaled_residuals(sdata, xs, ys)

@@ -285,15 +285,18 @@ def finalize():
         # instances the reference's own solver cannot pin, hard cap 3e-3.
         # NO auto-grant: no accepted OSQP run => strict gate.
         gate = 1e-3 if med is None else float(max(1e-3, min(med, 3e-3)))
+        gmed = o["obj_gap_rel_median"]
+        obj_gate = 2e-5 if gmed is None else float(max(2e-5, min(gmed, 1e-3)))
         per_instance[tag] = {
             "engine_applied_steer_err": eng[tag]["applied_steer_err"],
             "engine_steer_tail_err": eng[tag]["steer_tail_err"],
             "engine_lon_err": eng[tag]["lon_err"],
             "osqp_applied_steer_dev_median": med,
             "osqp_applied_steer_dev_max": o["applied_steer_dev_max"],
-            "osqp_obj_gap_rel_median": o["obj_gap_rel_median"],
+            "osqp_obj_gap_rel_median": gmed,
             "osqp_accepted_runs": o["n_accepted"],
             "applied_steer_gate": gate,
+            "obj_gap_gate": obj_gate,
             "instance_file": rec["file"],
             "instance_sha256_16": rec["sha256_16"],
         }
