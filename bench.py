@@ -54,6 +54,63 @@ def _peak_for(device_str: str) -> float:
     return 197e12
 
 
+def shipped_rt_latencies(chain: int = 8, reps: int = 3) -> dict:
+    """Batch-1 on-chip per-cycle latency of every shipped launch scenario's
+    full controller step (control/loop.py _rti_step: shift + track
+    interpolation + solve, incl. the scenario's sqp_relin_steps), as a
+    jitted chain of dependent receding-horizon cycles.  Budgets:
+    the reference caps every solve at 85 ms (max_cpu_time) and runs loops
+    at 40 Hz (BARC, 25 ms) / 10 Hz (Putnam launches, 100 ms)."""
+    import jax.numpy as jnp
+    from racing_lmpc_tpu.launch.runner import _SCENARIOS, CoSimulation
+
+    budgets = {
+        "barc_lmpc": 25.0, "barc_tracking_mpc": 25.0,
+        "putnam_short_lmpc": 100.0, "putnam_short_tracking_mpc": 100.0,
+        "putnam_config_a_tracking_mpc": 100.0,
+    }
+    out = {}
+    for name, loop_ms in budgets.items():
+        cs = CoSimulation(_SCENARIOS[name])
+        cs.step()                      # bootstrap + first cycle
+        ctrl = cs.controller
+        st = ctrl.state
+        ss_x, ss_j = ctrl._query_safe_set(st.last_X[-1])
+        lim = jnp.asarray(ctrl.speed_limit, jnp.float32)
+        sc = jnp.asarray(ctrl.speed_scale, jnp.float32)
+
+        def chain_steps(state, x0, u0, ss_x=ss_x, ss_j=ss_j, ctrl=ctrl,
+                        lim=lim, sc=sc):
+            def body(carry, _):
+                s, x, u = carry
+                s2, info = ctrl._rti_step(x, u, s, ss_x, ss_j, lim, sc)
+                return (s2, s2.last_X[1], info.u_apply), info.output.obj
+            (_, _, _), objs = jax.lax.scan(
+                body, (state, x0, u0), None, length=chain)
+            return objs
+
+        f = jax.jit(chain_steps)
+        x0 = st.last_X[0]
+        u0 = jnp.zeros((ctrl.mpc.nu,), dtype=jnp.float32)
+        f(st, x0, u0).block_until_ready()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f(st, x0, u0).block_until_ready()
+            ts.append((time.perf_counter() - t0) / chain)
+        ms = float(np.median(ts) * 1e3)
+        out[name] = {
+            "batch1_cycle_onchip_ms": round(ms, 2),
+            "n": ctrl.mpc.N, "k": ctrl.mpc.K,
+            "sqp_relin_steps": max(1, ctrl.config.sqp_relin_steps),
+            "loop_period_ms": loop_ms,
+            "solve_cap_ms": 85.0,
+            "within_cap": bool(ms <= 85.0),
+            "within_loop_period": bool(ms <= loop_ms),
+        }
+    return out
+
+
 def main():
     from racing_lmpc_tpu.benchmarks import build_barc_lmpc, make_scenario_batch
 
@@ -149,6 +206,16 @@ def main():
     lat40 = np.sort(np.asarray(lat40)) * 1e3
     n40_solves_per_s = round(B40 / (np.median(lat40) / 1e3), 1)
 
+    # ---- shipped-config real-time latencies (VERDICT r4 next #5) --------
+    # Every launch scenario's FULL per-cycle controller compute (shift +
+    # reference interpolation + QP solve(+SQP re-linearizations where the
+    # scenario ships them)), batch-1, as an on-chip chain of dependent
+    # receding-horizon cycles (cycle k+1 starts from cycle k's 1-step
+    # prediction) — compared against the reference's 85 ms per-solve cap
+    # (max_cpu_time, every shipped *_mpc.param.yaml) and each scenario's
+    # loop period.
+    shipped_rt = shipped_rt_latencies()
+
     # ---- host safe-set query cost per control cycle ----------------------
     x_term = np.asarray(inp.X_ref[0, -1])
     manager.query_padded(x_term, mpc.K, cfg.num_ss_pts_per_lap)  # warm
@@ -196,6 +263,7 @@ def main():
             # accordingly tiny; the relevant budget is the reference's
             # 25 ms loop / 85 ms cap, met by orders of magnitude.
             "batch_sweep_solves_per_s": batch_sweep,
+            "shipped_rt_latencies": shipped_rt,
             "flagship_n40_k96_batch128_solves_per_s": n40_solves_per_s,
             "flagship_n40_k96_batch128_latency_ms_p50": round(
                 float(np.median(lat40)), 2),

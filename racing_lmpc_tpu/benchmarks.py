@@ -28,14 +28,15 @@ BARC_LAPS = tuple(str(SS_DIR / "barc" / f"ss_lap_{i}") for i in (1, 2, 3))
 
 def build_barc_lmpc(n_horizon: int = 20, num_ss: int = 48,
                     num_ss_per_lap: int = 16, learning: bool = True,
-                    dt: float = 0.025):
-    """Flagship problem: BARC single-track LMPC with the recorded safe set."""
+                    dt: float = 0.025, **overrides):
+    """Flagship problem: BARC single-track LMPC with the recorded safe set.
+    Extra kwargs override RacingMPCConfig fields (Pareto sweeps)."""
     base, st = barc_vehicle()
     model = SingleTrackPlanarModel(base, st)
     track = RacingTrajectory.from_file(TRACK_DIR / "barc" / "02_barc_center.txt")
     cfg = barc_mpc_config(
         "barc_lmpc", n=n_horizon, learning=learning,
-        num_ss_pts=num_ss, num_ss_pts_per_lap=num_ss_per_lap)
+        num_ss_pts=num_ss, num_ss_pts_per_lap=num_ss_per_lap, **overrides)
     mpc = RacingMPC(cfg, model)
     manager = None
     if learning:

@@ -226,14 +226,29 @@ class MPCController:
             # re-interpolates the track data at the rollout abscissae,
             # re-solves, and damps the control update (solve_sqp's
             # alpha = 0.5), keeping the previous iterate if the re-solve
-            # fails.  One scanned _solve_impl instance — the jitted graph
-            # stays the size of a single solve.
+            # fails.  One _solve_impl instance inside a lax.while_loop —
+            # the jitted graph stays the size of a single solve, and the
+            # loop STOPS EARLY once the damped control update falls below
+            # sqp_relin_tol (scaled units): at steady state on the
+            # raceline one linearization is already consistent and the
+            # cycle costs a single solve; the extra re-linearizations only
+            # run in the transients that need them (measured: the always-
+            # run-3 variant cost 169 ms/cycle on-chip at N=60/K=96 vs the
+            # 85 ms solve cap; with the SQP convergence stop the steady-
+            # state cycle is one solve).
             out_sd, _ = jax.eval_shape(
                 mpc._solve_impl, inp, z_warm, jnp.asarray(True))
             init = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), out_sd)
+            su = jnp.asarray(mpc.scale_u, dtype=x_ic.dtype)
+            tol = jnp.asarray(self.config.sqp_relin_tol, dtype=x_ic.dtype)
 
-            def sqp_body(prev, it):
+            def sqp_cond(c):
+                prev, it, active = c
+                return active & (it < n_steps)
+
+            def sqp_body(c):
+                prev, it, _ = c
                 first = it == 0
                 U = prev.U_optm
                 X_roll = self._nl_rollout(inp.x_ic, U)
@@ -255,9 +270,17 @@ class MPCController:
                 keep = first | out_r.solved
                 nxt = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(keep, a, b), cand, prev)
-                return nxt, None
+                # SQP convergence: further re-linearization cannot move the
+                # controls once the damped update is sub-tolerance; a failed
+                # re-solve also stops (the next round would re-solve the
+                # identical subproblem)
+                du = jnp.max(jnp.abs(U_new - U) / su)
+                active = jnp.where(first, jnp.asarray(True),
+                                   out_r.solved & (du >= tol))
+                return nxt, it + 1, active
 
-            out, _ = jax.lax.scan(sqp_body, init, jnp.arange(n_steps))
+            out, _, _ = jax.lax.while_loop(
+                sqp_cond, sqp_body, (init, jnp.asarray(0), jnp.asarray(True)))
 
         # on failure keep flying the shifted previous plan
         ok = out.solved

@@ -54,10 +54,11 @@ def test_tracking_lap_segment(stack):
     # (|R(lambda*dt)| > 1), which can make the affine QP infeasible — the
     # reference hits the same wall and keeps flying the previous plan
     # (racing_mpc.cpp:358-371); we allow those early fallbacks but the loop
-    # must recover and keep the car on track.
-    assert fallbacks <= 20
-    # car stays inside the track (BARC half-width ~0.5 m)
-    assert np.abs(lat).max() < 0.45
+    # must recover and keep the car on track.  Budgets at measured+margin
+    # (VERDICT r4 next #7: measured fallbacks=1, lat_max=0.072): a 2x
+    # regression on either now fails the FAST suite.
+    assert fallbacks <= 5
+    assert np.abs(lat).max() < 0.30  # half-width 0.45; measured 0.072
     # it accelerates toward the speed limit and makes progress
     assert speeds[-1] > 2.0
     assert speeds.max() < 4.0  # speed limit is 6, raceline speed ~3.5-5
@@ -67,10 +68,11 @@ def test_deviated_start_recovers(stack):
     model, track = stack
     sim, ctrl, fallbacks, lat, speeds = run_loop(
         model, track, (0.1, 0.3, 0.0, 0.8, 0.0, 0.0), steps=150)
-    assert fallbacks <= 20
+    # measured fallbacks=2, lat_max=0.300 (the initial offset itself)
+    assert fallbacks <= 5
     # pulled back toward the centerline
     assert abs(lat[-1]) < 0.15
-    assert np.abs(lat).max() < 0.45
+    assert np.abs(lat).max() < 0.32  # must not overshoot past the start
 
 
 def test_simulator_rollout_batched(stack):

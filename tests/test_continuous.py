@@ -27,6 +27,23 @@ def cont():
     return sim, summary
 
 
+def _unwrapped_progress(sim) -> float:
+    """Total forward abscissa progress, accumulating per-tick deltas with
+    lap-wrap handling — immune to net progress landing near a lap multiple."""
+    L = sim.cs.track.total_length
+    total = 0.0
+    prev = sim.published[0].p.s
+    for m in sim.published[1:]:
+        d = m.p.s - prev
+        if d < -0.5 * L:
+            d += L
+        elif d > 0.5 * L:
+            d -= L
+        total += d
+        prev = m.p.s
+    return total
+
+
 def test_continuous_mode_runs_with_delay_pick(cont):
     sim, summary = cont
     assert sim.cs.controller.delay_step == 1
@@ -35,10 +52,10 @@ def test_continuous_mode_runs_with_delay_pick(cont):
     assert summary["controller_cycles"] == 120  # 3 s / 25 ms
     assert summary["fallback_rate"] <= 0.05
     # the car actually drives: forward progress over 3 s at ~1.5+ m/s
-    s0 = sim.published[0].p.s
-    s1 = sim.published[-1].p.s
-    L = sim.cs.track.total_length
-    progress = (s1 - s0) % L
+    # unwrapped progress: accumulate per-tick deltas (ADVICE r4 — the
+    # modulo form fails when net progress lands within 2 m past a lap
+    # multiple despite real forward motion)
+    progress = _unwrapped_progress(sim)
     assert progress > 2.0, f"no progress in continuous mode: {progress}"
     # stays on track
     assert max(abs(m.p.x_tran) for m in sim.published) < 0.45
@@ -54,9 +71,7 @@ def test_delay_step_2_configurable():
     assert sim.cs.controller.delay_step == 2
     summary = sim.run(300)
     assert summary["fallback_rate"] <= 0.05
-    s0, s1 = sim.published[0].p.s, sim.published[-1].p.s
-    L = sim.cs.track.total_length
-    assert (s1 - s0) % L > 2.0, "no progress with delay_step=2"
+    assert _unwrapped_progress(sim) > 2.0, "no progress with delay_step=2"
     assert max(abs(m.p.x_tran) for m in sim.published) < 0.45
 
 

@@ -60,12 +60,14 @@ def test_lmpc_closed_loop(lmpc_stack):
         fallbacks += int(bool(info.used_fallback))
         lam_sums.append(float(jnp.sum(info.output.convex_combi)))
     x = np.asarray(sim.x)
-    # solver healthy; convex combination stays on the simplex
-    assert fallbacks <= 15
+    # solver healthy; convex combination stays on the simplex.  Budgets at
+    # measured+margin (VERDICT r4 next #7: measured fallbacks=0,
+    # lat_max=0.099): a 2-3x regression now fails the FAST suite.
+    assert fallbacks <= 4
     ok_lams = [s for s in lam_sums if abs(s - 1.0) < 1e-2]
     assert len(ok_lams) > 100
     # car on track and making progress at racing speed
-    assert abs(x[1]) < 0.45
+    assert abs(x[1]) < 0.30
     assert x[3] > 1.2
     # terminal state lies near the safe-set convex hull
     out = info.output
