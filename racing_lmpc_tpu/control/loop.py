@@ -270,11 +270,17 @@ class MPCController:
                 keep = first | out_r.solved
                 nxt = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(keep, a, b), cand, prev)
-                # SQP convergence: further re-linearization cannot move the
-                # controls once the damped update is sub-tolerance; a failed
-                # re-solve also stops (the next round would re-solve the
-                # identical subproblem)
-                du = jnp.max(jnp.abs(U_new - U) / su)
+                # SQP convergence on the APPLIED stages: the gate metric and
+                # the flown command are u[0..delay]; the tail of a 60-stage
+                # horizon keeps wiggling on its degenerate face long after
+                # the applied controls have converged (measured: whole-
+                # horizon du never fell below tol in steady state, so the
+                # loop always ran all rounds — 169 ms/cycle).  The shifted
+                # warm start re-handles the tail next cycle; a transient
+                # that matters moves the head stages far beyond tol.  A
+                # failed re-solve also stops (the next round would re-solve
+                # the identical subproblem).
+                du = jnp.max(jnp.abs(U_new[:4] - U[:4]) / su)
                 active = jnp.where(first, jnp.asarray(True),
                                    out_r.solved & (du >= tol))
                 return nxt, it + 1, active
